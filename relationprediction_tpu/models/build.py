@@ -1,0 +1,271 @@
+"""Model assembly: config -> pure-functional encoder/decoder model.
+
+The TPU-native counterpart of ``code/common/model_builder.py`` plus the
+high-level API of ``code/model.py``: one ``RGCNModel`` object holds the
+static structure (from RunConfig) and exposes init / encode / loss /
+score_all_* as jit-friendly pure functions over an explicit params pytree.
+
+Train vs test mode in the reference is two cached TF subgraphs
+(``message_gcn.py:13,50``); here it is the same function with a
+``deterministic`` flag and a different GraphBatch (sampled split vs full
+training graph).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RunConfig
+from ..graph import GraphBatch
+from . import decoders as decoders_lib
+from . import encoders as enc
+
+
+class EncodeResult(NamedTuple):
+    entity_codes: jax.Array    # [V, d]
+    relation_codes: jax.Array  # [R, d]
+    # For variational encoders, the pre-noise statistics (KL penalty inputs):
+    mu: Optional[jax.Array] = None
+    log_sigma: Optional[jax.Array] = None
+
+
+class RGCNModel:
+    """Encoder/decoder pair with the reference's full config surface."""
+
+    def __init__(self, config: RunConfig):
+        if config.entity_count <= 0:
+            raise ValueError("config must carry dataset counts; call "
+                             "config.with_counts(...) first")
+        self.config = config
+        e = config.encoder
+        self.decoder = decoders_lib.build_decoder(
+            config.decoder.name,
+            code_dimension=config.decoder.code_dimension,
+            regularization_parameter=config.decoder.regularization_parameter,
+            decoder_dimension=config.decoder.decoder_dimension,
+            embedding_width=config.decoder.embedding_width,
+        )
+        self.n_entities = config.entity_count
+        self.n_relations = config.relation_count
+
+        self.is_gcn = e.name in ("gcn_basis", "gcn_diag", "variational_gcn_basis")
+        self.variational = e.name in ("variational_embedding",
+                                      "variational_gcn_basis")
+        # First GCN layer consumes one-hot input iff there is no input stage
+        # (``model_builder.apply_basis_gcn`` onehot logic, lines 277-283).
+        self.first_layer_onehot = (
+            self.is_gcn and not e.use_input_transform and not e.random_input
+            and not e.partially_random_input)
+        if e.name == "gcn_diag":
+            # gcn_diag always builds an input transform (model_builder.py:89).
+            self.first_layer_onehot = False
+
+    # ------------------------------------------------------------------
+    # Parameter initialization
+    # ------------------------------------------------------------------
+    def init_params(self, key: jax.Array) -> Dict:
+        cfg = self.config
+        e = cfg.encoder
+        keys = iter(jax.random.split(key, 64))
+        params: Dict = {}
+
+        if e.name == "embedding":
+            params["embedding"] = enc.init_affine(
+                next(keys), (self.n_entities, e.code_dimension), use_bias=False)
+        elif e.name == "variational_embedding":
+            params["mu_embedding"] = enc.init_affine(
+                next(keys), (self.n_entities, e.code_dimension), use_bias=False)
+            params["sigma_embedding"] = enc.init_affine(
+                next(keys), (self.n_entities, e.code_dimension), use_bias=False)
+        elif self.is_gcn:
+            d_int = e.internal_dimension
+            if e.name == "gcn_diag" or e.use_input_transform:
+                params["input_transform"] = enc.init_affine(
+                    next(keys), (self.n_entities, d_int), use_bias=True)
+            if e.partially_random_input:
+                params["input_transform"] = enc.init_affine(
+                    next(keys), (self.n_entities, d_int), use_bias=True)
+
+            variant = "diag" if e.name == "gcn_diag" else e.gcn_variant
+            layers = []
+            highways = []
+            for layer in range(e.n_layers):
+                onehot = self.first_layer_onehot and layer == 0
+                layers.append(enc.init_gcn_layer(
+                    next(keys), variant,
+                    n_relations=self.n_relations,
+                    d_in=d_int, d_out=d_int, n_bases=e.n_bases,
+                    onehot_dim=self.n_entities if onehot else None))
+                if e.skip_connections == "Highway" and not onehot:
+                    highways.append(enc.init_highway(next(keys), (d_int, d_int)))
+                else:
+                    highways.append(None)
+            params["gcn_layers"] = layers
+            if any(h is not None for h in highways):
+                params["highways"] = highways
+
+            if e.name == "variational_gcn_basis":
+                params["mu_projection"] = enc.init_affine(
+                    next(keys), (d_int, e.code_dimension), use_bias=True)
+                params["sigma_projection"] = enc.init_affine(
+                    next(keys), (d_int, e.code_dimension), use_bias=True)
+            if e.use_output_transform:
+                params["output_transform"] = enc.init_affine(
+                    next(keys), (d_int, e.code_dimension), use_bias=True)
+        else:
+            raise ValueError(f"unknown encoder {e.name!r}")
+
+        params["relation_embedding"] = enc.init_relation_embedding(
+            next(keys), self.n_relations, e.code_dimension)
+        params["decoder"] = self.decoder.init(next(keys))
+        return params
+
+    # ------------------------------------------------------------------
+    # Encoding
+    # ------------------------------------------------------------------
+    def needs_graph(self) -> bool:
+        return self.is_gcn
+
+    def encode(self, params: Dict, graph: Optional[GraphBatch], *,
+               deterministic: bool, rng: Optional[jax.Array] = None
+               ) -> EncodeResult:
+        """Compute all-entity codes [V, d] and relation codes [R, d]."""
+        cfg = self.config
+        e = cfg.encoder
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rel = params["relation_embedding"]["W_relation"]
+
+        if e.name == "embedding":
+            codes = enc.apply_affine(params["embedding"], None,
+                                     onehot_input=True, use_bias=False)
+            return EncodeResult(codes, rel)
+
+        if e.name == "variational_embedding":
+            mu = enc.apply_affine(params["mu_embedding"], None,
+                                  onehot_input=True, use_bias=False)
+            log_sigma = enc.apply_affine(params["sigma_embedding"], None,
+                                         onehot_input=True, use_bias=False)
+            z = enc.apply_variational(jax.random.fold_in(rng, 17), mu,
+                                      log_sigma)
+            return EncodeResult(z, rel, mu=mu, log_sigma=log_sigma)
+
+        assert graph is not None, "GCN encoders require a GraphBatch"
+        d_int = e.internal_dimension
+
+        # --- input stage -------------------------------------------------
+        mu = log_sigma = None
+        if e.name == "gcn_diag" or e.use_input_transform:
+            features = enc.apply_affine(params["input_transform"], None,
+                                        onehot_input=True, use_bias=True,
+                                        use_nonlinearity=True)
+        elif e.random_input:
+            features = enc.random_embedding(jax.random.fold_in(rng, 23),
+                                            self.n_entities, d_int)
+        elif e.partially_random_input:
+            c1 = enc.apply_affine(params["input_transform"], None,
+                                  onehot_input=True, use_bias=True,
+                                  use_nonlinearity=False)
+            c2 = enc.random_embedding(jax.random.fold_in(rng, 23),
+                                      self.n_entities, d_int)
+            features = enc.apply_dropover(jax.random.fold_in(rng, 29), c1, c2,
+                                          deterministic)
+        else:
+            features = None  # one-hot first layer
+
+        # --- message-passing layers -------------------------------------
+        variant = "diag" if e.name == "gcn_diag" else e.gcn_variant
+        highways = params.get("highways")
+        for layer_idx, layer_params in enumerate(params["gcn_layers"]):
+            use_nonlinearity = layer_idx < e.n_layers - 1
+            new_features = enc.apply_gcn_layer(
+                layer_params, variant, graph, features,
+                n_bases=e.n_bases, use_nonlinearity=use_nonlinearity,
+                dropout_keep=e.dropout_keep_probability,
+                deterministic=deterministic,
+                rng=jax.random.fold_in(rng, 100 + layer_idx),
+                n_vertices=self.n_entities)
+            if features is not None and e.skip_connections == "Highway":
+                new_features = enc.apply_highway(highways[layer_idx],
+                                                 new_features, features)
+            elif features is not None and e.skip_connections == "Residual":
+                new_features = enc.apply_residual(new_features, features)
+            features = new_features
+
+        # --- variational / output stages ---------------------------------
+        if e.name == "variational_gcn_basis":
+            mu = enc.apply_affine(params["mu_projection"], features,
+                                  use_bias=True)
+            log_sigma = enc.apply_affine(params["sigma_projection"], features,
+                                         use_bias=True)
+            features = enc.apply_variational(jax.random.fold_in(rng, 31),
+                                             mu, log_sigma)
+        if e.use_output_transform:
+            features = enc.apply_affine(params["output_transform"], features,
+                                        use_bias=True)
+
+        return EncodeResult(features, rel, mu=mu, log_sigma=log_sigma)
+
+    # ------------------------------------------------------------------
+    # Losses and scoring
+    # ------------------------------------------------------------------
+    def gather_codes(self, encoded: EncodeResult, triples: jax.Array
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(e1, r, e2) code gather (``bilinear_diag.py:14-24``)."""
+        e1 = encoded.entity_codes[triples[:, 0]]
+        r = encoded.relation_codes[triples[:, 1]]
+        e2 = encoded.entity_codes[triples[:, 2]]
+        return e1, r, e2
+
+    def loss(self, params: Dict, graph: Optional[GraphBatch],
+             triples: jax.Array, labels: jax.Array,
+             mask: Optional[jax.Array] = None, *,
+             rng: Optional[jax.Array] = None,
+             deterministic: bool = False) -> jax.Array:
+        """Training loss = mean weighted CE + regularization
+        (``train.py:262``: get_loss + get_regularization)."""
+        encoded = self.encode(params, graph, deterministic=deterministic,
+                              rng=rng)
+        e1, r, e2 = self.gather_codes(encoded, triples)
+        energies = self.decoder.energies(params["decoder"], e1, r, e2)
+        loss = decoders_lib.weighted_ce_loss(energies, labels, mask)
+        loss = loss + self.decoder.regularization(params["decoder"], e1, r,
+                                                  e2, mask)
+        if self.variational and encoded.mu is not None:
+            loss = loss + enc.variational_kl_penalty(encoded.mu,
+                                                     encoded.log_sigma)
+        return loss
+
+    def score(self, params: Dict, graph: Optional[GraphBatch],
+              triples: jax.Array) -> jax.Array:
+        """sigmoid(energies) for given triples, test mode
+        (``bilinear_diag.py:46-49``)."""
+        encoded = self.encode(params, graph, deterministic=True)
+        e1, r, e2 = self.gather_codes(encoded, triples)
+        return jax.nn.sigmoid(
+            self.decoder.energies(params["decoder"], e1, r, e2))
+
+    def score_all_subjects(self, params: Dict, graph: Optional[GraphBatch],
+                           triples: jax.Array,
+                           apply_sigmoid: bool = True) -> jax.Array:
+        """[N, V] candidate-subject scores (``bilinear_diag.py:51-55``)."""
+        encoded = self.encode(params, graph, deterministic=True)
+        _, r, e2 = self.gather_codes(encoded, triples)
+        energies = self.decoder.all_subject_energies(
+            params["decoder"], encoded.entity_codes, r, e2)
+        return jax.nn.sigmoid(energies) if apply_sigmoid else energies
+
+    def score_all_objects(self, params: Dict, graph: Optional[GraphBatch],
+                          triples: jax.Array,
+                          apply_sigmoid: bool = True) -> jax.Array:
+        encoded = self.encode(params, graph, deterministic=True)
+        e1, r, _ = self.gather_codes(encoded, triples)
+        energies = self.decoder.all_object_energies(
+            params["decoder"], encoded.entity_codes, e1, r)
+        return jax.nn.sigmoid(energies) if apply_sigmoid else energies
+
+
+def build_model(config: RunConfig) -> RGCNModel:
+    return RGCNModel(config)

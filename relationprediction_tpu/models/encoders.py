@@ -1,0 +1,317 @@
+"""Pure-functional encoder components.
+
+Each component is an (init, apply) pair over explicit parameter pytrees —
+the TPU-native redesign of the reference's chain-of-components Model classes
+(``code/model.py``, ``code/encoders/*``). Encoders produce full [V, d]
+entity-code matrices per layer (like the reference's
+``compute_vertex_embeddings``), so evaluation and training share one code
+path; train/test differ only in the graph fed and the dropout flag.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import graph as graph_lib
+from ..graph import GraphBatch
+from ..ops import relblock
+from . import initializers as init
+
+
+# ---------------------------------------------------------------------------
+# Affine transform (embedding table / input / output / projection)
+# ---------------------------------------------------------------------------
+
+def init_affine(key, shape, use_bias: bool = True) -> Dict:
+    """AffineTransform weights (``affine_transform.py:24-28``)."""
+    std = init.glorot_std(shape[0], shape[1])
+    params = {"W": init.normal(key, tuple(shape), std)}
+    if use_bias:
+        params["b"] = init.zeros((shape[1],))
+    return params
+
+
+def apply_affine(params: Dict, x: Optional[jax.Array], *,
+                 onehot_input: bool = False, use_bias: bool = True,
+                 use_nonlinearity: bool = False) -> jax.Array:
+    """``affine_transform.py:33-60``: with one-hot input the weight matrix
+    itself is the embedding table; otherwise a dense matmul."""
+    if onehot_input or x is None:
+        hidden = params["W"]
+    else:
+        hidden = jnp.dot(x, params["W"], preferred_element_type=jnp.float32)
+    if use_bias:
+        hidden = hidden + params["b"]
+    if use_nonlinearity:
+        hidden = jax.nn.relu(hidden)
+    return hidden
+
+
+# ---------------------------------------------------------------------------
+# Relation embedding (caps every encoder)
+# ---------------------------------------------------------------------------
+
+def init_relation_embedding(key, n_relations: int, dim: int) -> Dict:
+    """N(0,1) init (``relation_embedding.py:15-18``)."""
+    return {"W_relation": jax.random.normal(key, (n_relations, dim),
+                                            dtype=jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# Random vertex embedding (ablation input)
+# ---------------------------------------------------------------------------
+
+def random_embedding(key, n_vertices: int, dim: int) -> jax.Array:
+    """U(-1,1) codes redrawn every call, like the reference's un-materialized
+    ``tf.random_uniform`` (``random_vertex_embedding.py:20-24``)."""
+    return init.uniform(key, (n_vertices, dim), -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Message-passing GCN layers
+# ---------------------------------------------------------------------------
+
+GCN_VARIANTS = ("basis", "block", "diag", "basis_plus_diag",
+                "basis_times_diag", "only_bias", "basis_stored")
+
+
+def init_gcn_layer(key, variant: str, *, n_relations: int, d_in: int,
+                   d_out: int, n_bases: int, onehot_dim: Optional[int] = None
+                   ) -> Dict:
+    """Create one message-GCN layer's parameters.
+
+    onehot_dim: entity count when this is a first layer consuming one-hot
+    input (``gcn_basis.py:16``: vertex_feature_dimension = entity_count).
+    """
+    feat_dim = onehot_dim if onehot_dim is not None else d_in
+    keys = jax.random.split(key, 8)
+    glorot = init.glorot_std(feat_dim, d_out)
+
+    if variant in ("basis", "basis_stored"):
+        return {
+            "W_forward": init.normal(keys[0], (feat_dim, n_bases, d_out), glorot),
+            "W_backward": init.normal(keys[1], (feat_dim, n_bases, d_out), glorot),
+            "C_forward": init.normal(keys[2], (n_relations, n_bases), 1.0),
+            "C_backward": init.normal(keys[3], (n_relations, n_bases), 1.0),
+            "W_self": init.normal(keys[4], (feat_dim, d_out), glorot),
+            # NOTE: created but never added in combine_messages — reference
+            # quirk preserved for checkpoint/parity (``gcn_basis.py:31,74-88``).
+            "b": init.zeros((d_out,)),
+        }
+    if variant == "block":
+        if d_out % n_bases != 0:
+            raise ValueError("block variant needs d_out % n_blocks == 0")
+        dr = d_out // n_bases
+        feat = onehot_dim if onehot_dim is not None else dr
+        # glorot over (R, feat) like the reference's odd fan choice
+        # (``gcn_basis_concat.py:22``: shape[0]=R, shape[2]=feat_dim).
+        g = init.glorot_std(n_relations, feat)
+        return {
+            "W_forward": init.normal(keys[0], (n_relations, n_bases, feat, dr), g),
+            "W_backward": init.normal(keys[1], (n_relations, n_bases, feat, dr), g),
+            "W_self": init.normal(keys[4], (d_in, d_out), g),
+            "b": init.zeros((d_out,)),  # unused in combine (ref quirk)
+        }
+    if variant == "diag":
+        g = init.glorot_std(d_in, d_out)
+        return {
+            "D_types_forward": init.normal(keys[0], (n_relations, d_out), 1.0),
+            "D_types_backward": init.normal(keys[1], (n_relations, d_out), 1.0),
+            "W_self": init.normal(keys[4], (d_in, d_out), g),
+            "b": init.zeros((d_out,)),
+        }
+    if variant == "basis_plus_diag":
+        return {
+            "W_forward": init.normal(keys[0], (feat_dim, n_bases, d_out), glorot),
+            "W_backward": init.normal(keys[1], (feat_dim, n_bases, d_out), glorot),
+            "C_forward": init.normal(keys[2], (n_relations, n_bases), 1.0),
+            "C_backward": init.normal(keys[3], (n_relations, n_bases), 1.0),
+            "D_types_forward": init.normal(keys[5], (n_relations, d_out), 1.0),
+            "D_types_backward": init.normal(keys[6], (n_relations, d_out), 1.0),
+            "W_self": init.normal(keys[4], (feat_dim, d_out), glorot),
+            "b": init.zeros((d_out,)),
+        }
+    if variant == "basis_times_diag":
+        return {
+            "W_forward": init.normal(keys[0], (feat_dim, n_bases, d_out), glorot),
+            "W_backward": init.normal(keys[1], (feat_dim, n_bases, d_out), glorot),
+            "C_forward": init.normal(keys[2], (n_relations, n_bases, d_out), 1.0),
+            "C_backward": init.normal(keys[3], (n_relations, n_bases, d_out), 1.0),
+            "W_self": init.normal(keys[4], (feat_dim, d_out), glorot),
+            "b": init.zeros((d_out,)),
+        }
+    if variant == "only_bias":
+        g = init.glorot_std(n_relations, d_out)
+        return {
+            "b_forward": init.normal(keys[0], (n_relations, d_out), g),
+            "b_backward": init.normal(keys[1], (n_relations, d_out), g),
+        }
+    raise ValueError(f"unknown gcn variant {variant!r}")
+
+
+def _edge_messages(params: Dict, variant: str, features: Optional[jax.Array],
+                   vertices: jax.Array, relations: jax.Array,
+                   direction: str, n_bases: int) -> jax.Array:
+    """Per-edge messages for one direction.
+
+    direction='forward': messages from senders (W_forward/C_forward);
+    'backward': messages from receivers (W_backward/C_backward). Relation ids
+    are NOT offset for the backward direction — the reference gives inverse
+    edges entirely separate weight tensors instead (``gcn_basis.py:43-57``).
+    """
+    sfx = "forward" if direction == "forward" else "backward"
+
+    if variant in ("basis", "basis_stored", "basis_plus_diag"):
+        proj = relblock.basis_vertex_projection(
+            features, params[f"W_{sfx}"].reshape(params[f"W_{sfx}"].shape[0], -1),
+            n_bases)
+        msgs = relblock.basis_messages(proj, params[f"C_{sfx}"], vertices,
+                                       relations)
+        if variant == "basis_plus_diag":
+            feats = proj_features(features, params, vertices)
+            msgs = msgs + feats * params[f"D_types_{sfx}"][relations]
+        return msgs
+
+    if variant == "basis_times_diag":
+        proj = relblock.basis_vertex_projection(
+            features, params[f"W_{sfx}"].reshape(params[f"W_{sfx}"].shape[0], -1),
+            n_bases)
+        return relblock.basis_messages_scaled(
+            proj, params[f"C_{sfx}"], vertices, relations,
+            sigmoid_coefficients=True)
+
+    if variant == "block":
+        if features is None:
+            raise ValueError("block-diagonal layer requires dense input "
+                             "(use an input transform before it)")
+        return relblock.block_diag_messages(
+            features, params[f"W_{sfx}"], vertices, relations, n_bases)
+
+    if variant == "diag":
+        if features is None:
+            raise ValueError("diag layer requires dense input")
+        return relblock.diag_messages(features, params[f"D_types_{sfx}"],
+                                      vertices, relations)
+
+    if variant == "only_bias":
+        return relblock.relation_bias_messages(params[f"b_{sfx}"], relations)
+
+    raise ValueError(f"unknown gcn variant {variant!r}")
+
+
+def proj_features(features: Optional[jax.Array], params: Dict,
+                  vertices: jax.Array) -> jax.Array:
+    """Edge-level raw features for the diagonal add-on term
+    (``gcn_basis_plus_diag.py:58-61``). With one-hot input the reference
+    would multiply indices — only reachable with dense input in practice."""
+    if features is None:
+        raise ValueError("basis_plus_diag requires dense input features")
+    return jnp.asarray(features)[vertices]
+
+
+def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
+                    features: Optional[jax.Array], *, n_bases: int,
+                    use_nonlinearity: bool, dropout_keep: float,
+                    deterministic: bool, rng: Optional[jax.Array],
+                    n_vertices: int) -> jax.Array:
+    """One R-GCN message-passing layer (template at ``message_gcn.py:49-79``):
+
+      1. per-edge forward messages (from senders) and backward messages
+         (from receivers),
+      2. self-loop messages with train-time dropout,
+      3. 1/degree-normalized aggregation of both directions + self-loop,
+      4. optional ReLU.
+
+    features=None means one-hot input (first layer, no input transform).
+    """
+    if features is not None:
+        features = jnp.asarray(features)
+    fwd = _edge_messages(params, variant, features, graph.senders,
+                         graph.relations, "forward", n_bases)
+    bwd = _edge_messages(params, variant, features, graph.receivers,
+                         graph.relations, "backward", n_bases)
+
+    norm = "none" if variant == "basis_stored" else "global"
+    w_f = graph_lib.degree_normalization(graph, "forward", norm)
+    w_b = graph_lib.degree_normalization(graph, "backward", norm)
+
+    collected_f = graph_lib.aggregate(fwd, w_f, graph.receivers, n_vertices)
+    collected_b = graph_lib.aggregate(bwd, w_b, graph.senders, n_vertices)
+    combined = collected_f + collected_b
+
+    if variant == "only_bias":
+        # No self-loop (``gcn_only_bias.py:34-35``).
+        out = combined
+    else:
+        self_loop = apply_affine({"W": params["W_self"]}, features,
+                                 onehot_input=features is None, use_bias=False)
+        if not deterministic:
+            # tf.nn.dropout semantics: keep w.p. p, scale kept values by 1/p
+            # — applied only to self-loop messages (``message_gcn.py:64``).
+            keep = jax.random.bernoulli(rng, dropout_keep, self_loop.shape)
+            self_loop = jnp.where(keep, self_loop / dropout_keep, 0.0)
+        out = combined + self_loop
+        if variant in ("diag", "basis_plus_diag", "basis_times_diag"):
+            # These variants add the layer bias (``gcn_diag.py:50``); the
+            # basis/block variants create but never add it (ref quirk).
+            out = out + params["b"]
+
+    if use_nonlinearity:
+        out = jax.nn.relu(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Highway / residual / dropover / variational wrappers
+# ---------------------------------------------------------------------------
+
+def init_highway(key, shape) -> Dict:
+    """Gate weights; bias init to ones (``highway_layer.py:27-31``)."""
+    std = init.glorot_std(shape[0], shape[1])
+    return {"W": init.normal(key, tuple(shape), std),
+            "b": init.ones((shape[1],))}
+
+
+def apply_highway(params: Dict, code_new: jax.Array, code_prev: jax.Array
+                  ) -> jax.Array:
+    """gates * new + (1 - gates) * prev, gate = sigmoid(prev @ W + b)
+    (``highway_layer.py:14-38``)."""
+    gates = jax.nn.sigmoid(
+        jnp.dot(code_prev, params["W"], preferred_element_type=jnp.float32)
+        + params["b"])
+    return gates * code_new + (1.0 - gates) * code_prev
+
+
+def apply_residual(code_new: jax.Array, code_prev: jax.Array) -> jax.Array:
+    """``residual_layer.py:12-19``. (In the reference builder the residual
+    wrapper is immediately overwritten by an if/else quirk at
+    ``model_builder.py:302-307``; we implement the documented intent.)"""
+    return code_new + code_prev
+
+
+def apply_dropover(rng: jax.Array, code_1: jax.Array, code_2: jax.Array,
+                   deterministic: bool) -> jax.Array:
+    """Elementwise random choice between two code matrices at train time,
+    first input at test time (``dropover.py:13-24``)."""
+    if deterministic:
+        return code_1
+    choice = jax.random.uniform(rng, code_1.shape, minval=-1.0, maxval=1.0)
+    return jnp.where(choice > 0, code_1, code_2)
+
+
+def apply_variational(rng: jax.Array, mu: jax.Array, log_sigma: jax.Array,
+                      deterministic: bool = False) -> jax.Array:
+    """Reparameterized z = mu + exp(log_sigma) * eps
+    (``variational_encoding.py:14-25``; the reference draws noise in test
+    mode too, since the TF random op re-evaluates per run)."""
+    eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+    return mu + jnp.exp(log_sigma) * eps
+
+
+def variational_kl_penalty(mu: jax.Array, log_sigma: jax.Array) -> jax.Array:
+    """-0.0005 * sum(1 + 2 log s - mu^2 - exp(2 log s))
+    (``variational_encoding.py:27-31``)."""
+    return -0.0005 * jnp.sum(1.0 + 2.0 * log_sigma - mu ** 2
+                             - jnp.exp(2.0 * log_sigma))

@@ -1,0 +1,204 @@
+"""Host-side samplers: negative sampling, neighborhood-expansion subgraph
+sampling, and the message-graph edge split.
+
+These reproduce the semantics of the reference's per-iteration host pipeline
+(``code/train.py:142-247`` and ``code/common/auxilliaries.py``) with
+vectorized numpy implementations; the degree-weighted neighborhood sampler
+additionally has a C++ implementation (``relationprediction_tpu/native``)
+because its sequential python loop is the reference's dominant host cost.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class NegativeSampler:
+    """Uniform corruption negative sampler (``auxilliaries.py:13-33``).
+
+    ``transform`` tiles the batch (rate+1)x, labels the first copy positive,
+    and for each negative flips a fair coin to corrupt either the subject or
+    the object with a uniformly random entity — intentionally *without*
+    filtering against known positives, matching the reference default.
+    """
+
+    def __init__(self, negative_sample_rate: int, n_entities: int,
+                 rng: Optional[np.random.Generator] = None):
+        self.negative_sample_rate = int(negative_sample_rate)
+        self.n_entities = int(n_entities)
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self.known_objects: Dict[int, set] = {}
+        self.known_subjects: Dict[int, set] = {}
+
+    def transform(self, triples: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
+        n = triples.shape[0]
+        rate = self.negative_sample_rate
+        n_neg = n * rate
+
+        out = np.tile(triples, (rate + 1, 1)).astype(np.int32)
+        labels = np.zeros(n * (rate + 1), dtype=np.float32)
+        labels[:n] = 1.0
+
+        corrupt_object = self.rng.random(n_neg) < 0.5
+        values = self.rng.integers(0, self.n_entities, size=n_neg,
+                                   dtype=np.int64).astype(np.int32)
+
+        neg = out[n:]
+        neg[corrupt_object, 2] = values[corrupt_object]
+        neg[~corrupt_object, 0] = values[~corrupt_object]
+
+        return out, labels
+
+    def set_known_positives(self, triples: np.ndarray) -> None:
+        """Index known (r, o) per subject and (r, s) per object
+        (``auxilliaries.py:35-48``), used only by transform_exclusive."""
+        self.known_objects = {}
+        self.known_subjects = {}
+        for s, r, o in np.asarray(triples):
+            self.known_objects.setdefault(int(s), set()).add((int(r), int(o)))
+            self.known_subjects.setdefault(int(o), set()).add((int(r), int(s)))
+
+    def transform_exclusive(self, triples: np.ndarray
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Filtered variant: resample any corruption that collides with a
+        known positive (``auxilliaries.py:50-73``; unused by the shipped
+        configs but part of the API surface)."""
+        out, labels = self.transform(triples)
+        n = triples.shape[0]
+        for i in range(n, out.shape[0]):
+            s, r, o = out[i]
+            base = out[i % n]  # original positive for this slot
+            if o != base[2]:  # object was corrupted
+                known = self.known_objects.get(int(s), set())
+                while (int(r), int(out[i, 2])) in known:
+                    out[i, 2] = self.rng.integers(0, self.n_entities)
+            else:
+                known = self.known_subjects.get(int(o), set())
+                while (int(r), int(out[i, 0])) in known:
+                    out[i, 0] = self.rng.integers(0, self.n_entities)
+        return out, labels
+
+
+class AdjacencyIndex:
+    """CSR-style adjacency over undirected incidence, equivalent to the
+    driver's ``adj_list``/``degrees`` build (``train.py:133-139``): for each
+    vertex, the (edge_id, other_vertex) pairs of its incident edges."""
+
+    def __init__(self, triples: np.ndarray, n_entities: int):
+        triples = np.asarray(triples, dtype=np.int64)
+        n_edges = triples.shape[0]
+        ends = np.concatenate([triples[:, 0], triples[:, 2]])
+        others = np.concatenate([triples[:, 2], triples[:, 0]])
+        edge_ids = np.concatenate([np.arange(n_edges), np.arange(n_edges)])
+
+        order = np.argsort(ends, kind="stable")
+        self.sorted_edges = edge_ids[order].astype(np.int32)
+        self.sorted_others = others[order].astype(np.int32)
+        self.degrees = np.bincount(ends, minlength=n_entities).astype(np.int64)
+        self.offsets = np.zeros(n_entities + 1, dtype=np.int64)
+        np.cumsum(self.degrees, out=self.offsets[1:])
+        self.n_entities = n_entities
+        self.n_edges = n_edges
+
+    def incident(self, vertex: int) -> Tuple[np.ndarray, np.ndarray]:
+        b, e = self.offsets[vertex], self.offsets[vertex + 1]
+        return self.sorted_edges[b:e], self.sorted_others[b:e]
+
+
+def sample_edge_neighborhood(adj: AdjacencyIndex, sample_size: int,
+                             rng: Optional[np.random.Generator] = None
+                             ) -> np.ndarray:
+    """Degree-weighted neighborhood-expansion edge sampling, the same
+    algorithm as ``train.py:161-198``: grow a vertex frontier, each step
+    picking a seen vertex with probability proportional to its remaining
+    degree budget, then an unpicked incident edge of that vertex.
+
+    Returns sample_size edge indices into the training triple array.
+
+    This numpy version keeps the exact sequential semantics; the O(V) weight
+    renormalization per step is replaced by incremental bookkeeping so it is
+    ~two orders of magnitude faster than the reference loop. A C++
+    implementation (native/sampler.cpp) is used when available.
+    """
+    rng = rng if rng is not None else np.random.default_rng()
+    n_vertices = adj.n_entities
+
+    sample_counts = adj.degrees.astype(np.float64).copy()
+    seen = np.zeros(n_vertices, dtype=bool)
+    picked = np.zeros(adj.n_edges, dtype=bool)
+    edges = np.zeros(sample_size, dtype=np.int32)
+
+    # Incremental weight bookkeeping: weights = sample_counts * seen.
+    weights = np.zeros(n_vertices, dtype=np.float64)
+    total = 0.0
+
+    def bump(v: int, delta: float) -> None:
+        nonlocal total
+        if seen[v]:
+            weights[v] += delta
+            total += delta
+
+    def mark_seen(v: int) -> None:
+        nonlocal total
+        if not seen[v]:
+            seen[v] = True
+            weights[v] = sample_counts[v]
+            total += weights[v]
+
+    for i in range(sample_size):
+        if total <= 0:
+            # Cold start / exhausted frontier: uniform over vertices with
+            # remaining degree (train.py:169-171).
+            candidates = np.flatnonzero(sample_counts > 0)
+            chosen_vertex = int(rng.choice(candidates))
+        else:
+            # Categorical draw proportional to weights without forming the
+            # full probability vector: inverse-CDF over nonzero support.
+            u = rng.random() * total
+            nz = np.flatnonzero(weights > 0)
+            cdf = np.cumsum(weights[nz])
+            chosen_vertex = int(nz[np.searchsorted(cdf, u, side="right").clip(0, len(nz) - 1)])
+
+        mark_seen(chosen_vertex)
+
+        inc_edges, inc_others = adj.incident(chosen_vertex)
+        # Rejection-sample an unpicked incident edge (train.py:181-187).
+        unpicked = np.flatnonzero(~picked[inc_edges])
+        j = int(rng.choice(unpicked))
+        edge_number = int(inc_edges[j])
+        other_vertex = int(inc_others[j])
+
+        edges[i] = edge_number
+        picked[edge_number] = True
+        bump(chosen_vertex, -1.0)
+        sample_counts[chosen_vertex] -= 1
+        bump(other_vertex, -1.0)
+        sample_counts[other_vertex] -= 1
+        mark_seen(other_vertex)
+
+    return edges
+
+
+def sample_uniform_edges(n_edges: int, sample_size: int,
+                         rng: Optional[np.random.Generator] = None
+                         ) -> np.ndarray:
+    """Fast-path alternative: uniform edge sampling without replacement.
+    Distributionally different from neighborhood expansion but much cheaper;
+    offered as a config switch for throughput-bound runs."""
+    rng = rng if rng is not None else np.random.default_rng()
+    return rng.choice(n_edges, size=min(sample_size, n_edges),
+                      replace=False).astype(np.int32)
+
+
+def graph_split(graph_batch_ids: np.ndarray, split_size: float,
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """The 'permanent edge dropout' split (``train.py:235-238``): keep a
+    random ``split_size`` fraction of the sampled edges as the
+    message-passing graph. NOTE the reference samples from graph_batch_ids
+    *with multiplicity semantics of np.random.choice over the id values*,
+    i.e. ids, not positions; we preserve that."""
+    rng = rng if rng is not None else np.random.default_rng()
+    n = int(split_size * len(graph_batch_ids))
+    return rng.choice(graph_batch_ids, size=n, replace=False).astype(np.int32)
