@@ -3,7 +3,7 @@
 TPU-native replacement for the reference's ``MessageGraph`` sparse incidence
 matrices (``code/extras/graph_representations.py:69-147``). XLA wants static
 shapes and segment ops, so instead of building V x E ``tf.SparseTensor``s per
-step we carry a padded edge list plus precomputable normalization weights:
+step we carry a padded edge list plus precomputed normalization weights:
 
   * ``forward_incidence_matrix('global') @ messages`` in the reference is a
     sparse softmax of ones per receiver row (== 1/in-degree) followed by SpMM.
@@ -13,6 +13,12 @@ step we carry a padded edge list plus precomputable normalization weights:
     ``graph_representations.py:95-107``) becomes
     ``w[e] = 1 / count(receivers[e], relations[e])``.
   * 'none' is unit weights.
+
+The 1/degree weights are precomputed host-side (numpy bincount) when the
+batch is built: this removes two device scatter passes per layer AND makes
+edge-sharded multi-chip aggregation exact — each device segment-sums its
+edge shard with globally-correct weights, and a psum over the mesh
+reconstitutes the full [V, d] aggregation.
 
 Padding: edges beyond ``n_edges`` point at a phantom vertex row (index
 ``n_vertices``), so ``segment_sum(..., num_segments=n_vertices + 1)`` drops
@@ -33,6 +39,8 @@ class GraphBatch(NamedTuple):
     senders/relations/receivers: int32 [E_pad]; padding entries have
     sender == receiver == n_vertices and relation == 0.
     mask: float32 [E_pad], 1.0 for real edges.
+    fwd_norm/bwd_norm: float32 [E_pad] aggregation weights (host-
+      precomputed 'global' 1/degree by default; None -> compute on device).
     n_vertices: number of real vertices (python int — static under jit).
     n_relations: number of relation types (static).
     """
@@ -41,6 +49,8 @@ class GraphBatch(NamedTuple):
     relations: jax.Array
     receivers: jax.Array
     mask: jax.Array
+    fwd_norm: Optional[jax.Array]
+    bwd_norm: Optional[jax.Array]
     n_vertices: int
     n_relations: int
 
@@ -53,18 +63,22 @@ class GraphBatch(NamedTuple):
 # cross jit boundaries without retracing on array identity.
 jax.tree_util.register_pytree_node(
     GraphBatch,
-    lambda g: ((g.senders, g.relations, g.receivers, g.mask),
+    lambda g: ((g.senders, g.relations, g.receivers, g.mask, g.fwd_norm,
+                g.bwd_norm),
                (g.n_vertices, g.n_relations)),
     lambda aux, children: GraphBatch(*children, *aux),
 )
 
 
 def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
-                      pad_to: Optional[int] = None) -> GraphBatch:
+                      pad_to: Optional[int] = None,
+                      normalization: str = "global") -> GraphBatch:
     """Host-side construction of a GraphBatch from an [N, 3] (s, r, o) array.
 
     ``pad_to`` fixes the edge-array length so that repeated calls with
-    varying edge counts hit one compiled executable.
+    varying edge counts hit one compiled executable. ``normalization``
+    selects the precomputed aggregation weights ('global' | 'local' |
+    'none' | None to defer to the device).
     """
     triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
     n = triples.shape[0]
@@ -82,14 +96,40 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
     receivers[:n] = triples[:, 2]
     mask[:n] = 1.0
 
+    fwd = bwd = None
+    if normalization is not None:
+        fwd = _host_norm(receivers, relations, mask, n_vertices, n_relations,
+                         normalization)
+        bwd = _host_norm(senders, relations, mask, n_vertices, n_relations,
+                         normalization)
+
     return GraphBatch(
         senders=jnp.asarray(senders),
         relations=jnp.asarray(relations),
         receivers=jnp.asarray(receivers),
         mask=jnp.asarray(mask),
+        fwd_norm=None if fwd is None else jnp.asarray(fwd),
+        bwd_norm=None if bwd is None else jnp.asarray(bwd),
         n_vertices=int(n_vertices),
         n_relations=int(n_relations),
     )
+
+
+def _host_norm(targets: np.ndarray, relations: np.ndarray, mask: np.ndarray,
+               n_vertices: int, n_relations: int,
+               normalization: str) -> np.ndarray:
+    """Host (numpy) computation of per-edge aggregation weights."""
+    if normalization == "none":
+        return mask.copy()
+    if normalization == "global":
+        deg = np.bincount(targets, weights=mask, minlength=n_vertices + 1)
+        return (mask / np.maximum(deg[targets], 1.0)).astype(np.float32)
+    if normalization == "local":
+        pair = targets.astype(np.int64) * n_relations + relations
+        cnt = np.bincount(pair, weights=mask,
+                          minlength=(n_vertices + 1) * n_relations)
+        return (mask / np.maximum(cnt[pair], 1.0)).astype(np.float32)
+    raise ValueError(f"unknown normalization {normalization!r}")
 
 
 def degree_normalization(graph: GraphBatch, direction: str = "forward",
@@ -97,11 +137,19 @@ def degree_normalization(graph: GraphBatch, direction: str = "forward",
     """Per-edge aggregation weights, matching the reference's incidence-matrix
     normalizations (``graph_representations.py:69-147``).
 
+    Returns the host-precomputed weights when the batch carries them (the
+    default, and required for edge-sharded execution where local degree
+    counts would be wrong); otherwise computes on device with segment ops.
+
     direction='forward' normalizes messages delivered to receivers;
     'backward' normalizes messages delivered to senders.
-
     Returns float32 [E_pad]; padding edges get weight 0.
     """
+    if normalization == "global":
+        pre = graph.fwd_norm if direction == "forward" else graph.bwd_norm
+        if pre is not None:
+            return pre
+
     target = graph.receivers if direction == "forward" else graph.senders
 
     if normalization == "none":
@@ -119,8 +167,11 @@ def degree_normalization(graph: GraphBatch, direction: str = "forward",
         # 1 / c_{v,r}: count per (vertex, relation) pair
         # (graph_representations.py:95-107: per-(relation,vertex) sparse
         # softmax then sum over the relation axis).
-        pair = target.astype(jnp.int64) * graph.n_relations + graph.relations
         n_pairs = (graph.n_vertices + 1) * graph.n_relations
+        if n_pairs >= 2 ** 31:
+            raise ValueError("local normalization: (V+1)*R overflows int32; "
+                             "precompute weights host-side instead")
+        pair = target * graph.n_relations + graph.relations
         cnt = jax.ops.segment_sum(graph.mask, pair, num_segments=n_pairs)
         w = 1.0 / jnp.maximum(cnt[pair], 1.0)
         return w * graph.mask

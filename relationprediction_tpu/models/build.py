@@ -129,9 +129,14 @@ class RGCNModel:
         return self.is_gcn
 
     def encode(self, params: Dict, graph: Optional[GraphBatch], *,
-               deterministic: bool, rng: Optional[jax.Array] = None
-               ) -> EncodeResult:
-        """Compute all-entity codes [V, d] and relation codes [R, d]."""
+               deterministic: bool, rng: Optional[jax.Array] = None,
+               axis_name: Optional[str] = None) -> EncodeResult:
+        """Compute all-entity codes [V, d] and relation codes [R, d].
+
+        axis_name: mesh axis over which the graph's edges are sharded
+        (edge-partitioned multi-chip execution); entity codes come back
+        replicated on every device.
+        """
         cfg = self.config
         e = cfg.encoder
         if rng is None:
@@ -186,7 +191,7 @@ class RGCNModel:
                 dropout_keep=e.dropout_keep_probability,
                 deterministic=deterministic,
                 rng=jax.random.fold_in(rng, 100 + layer_idx),
-                n_vertices=self.n_entities)
+                n_vertices=self.n_entities, axis_name=axis_name)
             if features is not None and e.skip_connections == "Highway":
                 new_features = enc.apply_highway(highways[layer_idx],
                                                  new_features, features)
@@ -223,16 +228,22 @@ class RGCNModel:
              triples: jax.Array, labels: jax.Array,
              mask: Optional[jax.Array] = None, *,
              rng: Optional[jax.Array] = None,
-             deterministic: bool = False) -> jax.Array:
+             deterministic: bool = False,
+             axis_name: Optional[str] = None) -> jax.Array:
         """Training loss = mean weighted CE + regularization
-        (``train.py:262``: get_loss + get_regularization)."""
+        (``train.py:262``: get_loss + get_regularization).
+
+        With axis_name set, graph edges AND loss triples are sharded over
+        that mesh axis; the returned scalar is the exact global loss (all
+        cross-device reductions happen inside)."""
         encoded = self.encode(params, graph, deterministic=deterministic,
-                              rng=rng)
+                              rng=rng, axis_name=axis_name)
         e1, r, e2 = self.gather_codes(encoded, triples)
         energies = self.decoder.energies(params["decoder"], e1, r, e2)
-        loss = decoders_lib.weighted_ce_loss(energies, labels, mask)
+        loss = decoders_lib.weighted_ce_loss(energies, labels, mask,
+                                             axis_name)
         loss = loss + self.decoder.regularization(params["decoder"], e1, r,
-                                                  e2, mask)
+                                                  e2, mask, axis_name)
         if self.variational and encoded.mu is not None:
             loss = loss + enc.variational_kl_penalty(encoded.mu,
                                                      encoded.log_sigma)
@@ -265,6 +276,42 @@ class RGCNModel:
         energies = self.decoder.all_object_energies(
             params["decoder"], encoded.entity_codes, e1, r)
         return jax.nn.sigmoid(energies) if apply_sigmoid else energies
+
+
+class JittedModelView:
+    """Jit-compiled scoring view over an RGCNModel.
+
+    The reference lazily builds three dedicated prediction graphs and reuses
+    them per session.run (``model.py:46-81``); this is the XLA equivalent —
+    one compiled executable per scoring entry point, shared across chunks.
+    Presents the same (params, graph, triples) surface as RGCNModel so it
+    can be handed directly to evaluation.Scorer.
+    """
+
+    def __init__(self, model: "RGCNModel"):
+        self.model = model
+        self._subj = jax.jit(lambda p, g, t: model.score_all_subjects(
+            p, g, t, apply_sigmoid=False))
+        self._obj = jax.jit(lambda p, g, t: model.score_all_objects(
+            p, g, t, apply_sigmoid=False))
+        self._subj_sig = jax.jit(lambda p, g, t: model.score_all_subjects(
+            p, g, t, apply_sigmoid=True))
+        self._obj_sig = jax.jit(lambda p, g, t: model.score_all_objects(
+            p, g, t, apply_sigmoid=True))
+        self._score = jax.jit(lambda p, g, t: model.score(p, g, t))
+
+    def score_all_subjects(self, params, graph, triples,
+                           apply_sigmoid: bool = True):
+        fn = self._subj_sig if apply_sigmoid else self._subj
+        return fn(params, graph, jnp.asarray(triples))
+
+    def score_all_objects(self, params, graph, triples,
+                          apply_sigmoid: bool = True):
+        fn = self._obj_sig if apply_sigmoid else self._obj
+        return fn(params, graph, jnp.asarray(triples))
+
+    def score(self, params, graph, triples):
+        return self._score(params, graph, jnp.asarray(triples))
 
 
 def build_model(config: RunConfig) -> RGCNModel:

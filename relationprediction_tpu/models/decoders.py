@@ -21,14 +21,23 @@ import jax.numpy as jnp
 from ..ops import sddmm
 
 
-def masked_mean(x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+def masked_mean(x: jax.Array, mask: Optional[jax.Array],
+                axis_name: Optional[str] = None) -> jax.Array:
+    """Mean over real entries; with ``axis_name``, the mean is global across
+    an edge/triple-sharded mesh axis (sums psum'd before dividing)."""
     if mask is None:
-        return jnp.mean(x)
-    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        s, c = jnp.sum(x), jnp.asarray(x.size, x.dtype)
+    else:
+        s, c = jnp.sum(x * mask), jnp.sum(mask)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        c = jax.lax.psum(c, axis_name)
+    return s / jnp.maximum(c, 1.0)
 
 
 def weighted_ce_loss(energies: jax.Array, labels: jax.Array,
-                     mask: Optional[jax.Array] = None) -> jax.Array:
+                     mask: Optional[jax.Array] = None,
+                     axis_name: Optional[str] = None) -> jax.Array:
     """Mean sigmoid cross-entropy with logits. The reference reads
     NegativeSampleRate as a positive-class weight then overrides it to 1
     (``bilinear_diag.py:32-33``) — so this is plain sigmoid CE; quirk kept.
@@ -36,7 +45,7 @@ def weighted_ce_loss(energies: jax.Array, labels: jax.Array,
     # log(1 + exp(-|x|)) + max(x, 0) - x*y  (numerically stable form)
     ce = jnp.maximum(energies, 0.0) - energies * labels + jnp.log1p(
         jnp.exp(-jnp.abs(energies)))
-    return masked_mean(ce, mask)
+    return masked_mean(ce, mask, axis_name)
 
 
 class BilinearDiag:
@@ -60,12 +69,14 @@ class BilinearDiag:
     def all_object_energies(self, params, all_codes, e1, r):
         return sddmm.distmult_all_objects(all_codes, e1, r)
 
-    def regularization(self, params, e1, r, e2, mask=None):
+    def regularization(self, params, e1, r, e2, mask=None,
+                       axis_name=None):
         """reg_param * (mean e1^2 + mean r^2 + mean e2^2) over the batch
         codes (``bilinear_diag.py:63-69``)."""
-        reg = (masked_mean(e1 ** 2, None if mask is None else mask[:, None])
-               + masked_mean(r ** 2, None if mask is None else mask[:, None])
-               + masked_mean(e2 ** 2, None if mask is None else mask[:, None]))
+        m = None if mask is None else mask[:, None] * jnp.ones_like(e1)
+        reg = (masked_mean(e1 ** 2, m, axis_name)
+               + masked_mean(r ** 2, m, axis_name)
+               + masked_mean(e2 ** 2, m, axis_name))
         return self.regularization_parameter * reg
 
 
@@ -149,10 +160,12 @@ class NonlinearTransform:
             return jnp.squeeze(out, axis=-1)                       # [V]
         return jax.lax.map(per_row, fixed)                         # [N, V]
 
-    def regularization(self, params, e1, r, e2, mask=None):
-        reg = (masked_mean(e1 ** 2, None if mask is None else mask[:, None])
-               + masked_mean(r ** 2, None if mask is None else mask[:, None])
-               + masked_mean(e2 ** 2, None if mask is None else mask[:, None]))
+    def regularization(self, params, e1, r, e2, mask=None,
+                       axis_name=None):
+        m = None if mask is None else mask[:, None] * jnp.ones_like(e1)
+        reg = (masked_mean(e1 ** 2, m, axis_name)
+               + masked_mean(r ** 2, m, axis_name)
+               + masked_mean(e2 ** 2, m, axis_name))
         return self.regularization_parameter * reg
 
 

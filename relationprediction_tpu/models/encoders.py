@@ -215,7 +215,8 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
                     features: Optional[jax.Array], *, n_bases: int,
                     use_nonlinearity: bool, dropout_keep: float,
                     deterministic: bool, rng: Optional[jax.Array],
-                    n_vertices: int) -> jax.Array:
+                    n_vertices: int,
+                    axis_name: Optional[str] = None) -> jax.Array:
     """One R-GCN message-passing layer (template at ``message_gcn.py:49-79``):
 
       1. per-edge forward messages (from senders) and backward messages
@@ -225,6 +226,12 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
       4. optional ReLU.
 
     features=None means one-hot input (first layer, no input transform).
+
+    axis_name: when set, the GraphBatch's edge arrays are sharded across
+    that mesh axis (edge partitioning); each device aggregates its shard
+    with globally-precomputed normalization weights and the partial vertex
+    sums are psum'd — exactly the reference's full-graph aggregation,
+    distributed. Vertex features stay replicated.
     """
     if features is not None:
         features = jnp.asarray(features)
@@ -236,10 +243,15 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
     norm = "none" if variant == "basis_stored" else "global"
     w_f = graph_lib.degree_normalization(graph, "forward", norm)
     w_b = graph_lib.degree_normalization(graph, "backward", norm)
+    if axis_name is not None and graph.fwd_norm is None and norm == "global":
+        raise ValueError("edge-sharded execution requires host-precomputed "
+                         "normalization weights in the GraphBatch")
 
     collected_f = graph_lib.aggregate(fwd, w_f, graph.receivers, n_vertices)
     collected_b = graph_lib.aggregate(bwd, w_b, graph.senders, n_vertices)
     combined = collected_f + collected_b
+    if axis_name is not None:
+        combined = jax.lax.psum(combined, axis_name)
 
     if variant == "only_bias":
         # No self-loop (``gcn_only_bias.py:34-35``).

@@ -1,0 +1,135 @@
+"""Multi-chip execution: edge-partitioned training over a device mesh.
+
+The reference has no distributed execution at all (single tf.Session,
+``train.py:278``; SURVEY.md §2 parallelism statement). This module is the
+TPU-native scale-out design:
+
+  * mesh axis "edges": the knowledge graph's edge batch AND the negative-
+    sampled loss triples are sharded across devices (the graph analogue of
+    combined data+sequence parallelism);
+  * entity/relation/layer parameters are replicated (they are small relative
+    to edge traffic: [R, B] coefficients, [d, B*d] basis stacks);
+  * each device segment-sums its edge shard with host-precomputed global
+    normalization weights; one psum per GCN layer reconstitutes the exact
+    full-graph aggregation (mathematically identical to single-chip);
+  * loss and gradients are reduced with psum inside the step, so the update
+    applied on every device is bit-identical and params stay replicated.
+
+Collectives ride ICI via XLA; there is no host-mediated communication.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax>=0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..graph import GraphBatch
+from ..models.build import RGCNModel
+
+EDGE_AXIS = "edges"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices=None) -> Mesh:
+    """1-D mesh over the edge-partition axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (EDGE_AXIS,))
+
+
+def shard_graph_spec() -> GraphBatch:
+    """PartitionSpec pytree for a GraphBatch: every per-edge array sharded
+    on its leading axis."""
+    e = P(EDGE_AXIS)
+    return GraphBatch(senders=e, relations=e, receivers=e, mask=e,
+                      fwd_norm=e, bwd_norm=e, n_vertices=0, n_relations=0)
+
+
+def _graph_specs(graph: Optional[GraphBatch]):
+    if graph is None:
+        return None
+    e = P(EDGE_AXIS)
+    return GraphBatch(
+        senders=e, relations=e, receivers=e, mask=e,
+        fwd_norm=None if graph.fwd_norm is None else e,
+        bwd_norm=None if graph.bwd_norm is None else e,
+        n_vertices=graph.n_vertices, n_relations=graph.n_relations)
+
+
+def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
+                            has_graph: bool = True) -> Callable:
+    """Build the jitted multi-chip training step.
+
+    Signature: step(params, opt_state, graph, triples, labels, mask, rng)
+      -> (params, opt_state, loss)
+
+    params/opt_state replicated; graph edge arrays and triples/labels/mask
+    sharded along EDGE_AXIS (leading dim divisible by mesh size). The loss
+    returned is the exact global scalar.
+    """
+
+    def step(params, opt_state, graph, triples, labels, mask, rng):
+        def loss_fn(p):
+            return model.loss(p, graph, triples, labels, mask, rng=rng,
+                              deterministic=False, axis_name=EDGE_AXIS)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Per-device grads carry only the local shard's contribution
+        # (the psum'd loss backpropagates as identity); reduce them so
+        # every device applies the identical global update.
+        grads = jax.lax.psum(grads, EDGE_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+        return params, opt_state, loss
+
+    rep = P()
+    data = P(EDGE_AXIS)
+
+    def wrapped(params, opt_state, graph, triples, labels, mask, rng):
+        graph_spec = _graph_specs(graph)
+        sharded = shard_map(
+            step, mesh=mesh,
+            in_specs=(rep, rep, graph_spec, data, data, data, rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False)
+        return sharded(params, opt_state, graph, triples, labels, mask, rng)
+
+    return jax.jit(wrapped, donate_argnums=(0, 1))
+
+
+def shard_batch(mesh: Mesh, graph: Optional[GraphBatch], triples, labels,
+                mask):
+    """Place host batch arrays with the step's expected shardings (device
+    put once, avoiding implicit transfers per step)."""
+    data_sharding = NamedSharding(mesh, P(EDGE_AXIS))
+    rep_graph = None
+    if graph is not None:
+        def put(x):
+            return None if x is None else jax.device_put(x, data_sharding)
+        rep_graph = GraphBatch(
+            senders=put(graph.senders), relations=put(graph.relations),
+            receivers=put(graph.receivers), mask=put(graph.mask),
+            fwd_norm=put(graph.fwd_norm), bwd_norm=put(graph.bwd_norm),
+            n_vertices=graph.n_vertices, n_relations=graph.n_relations)
+    return (rep_graph,
+            jax.device_put(triples, data_sharding),
+            jax.device_put(labels, data_sharding),
+            jax.device_put(mask, data_sharding))
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully-replicated placement of a parameter/optimizer pytree."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,313 @@
+"""Training engine: the Converge-equivalent fit loop.
+
+Reproduces the semantics of the reference's decorator-chain optimizer
+(``code/optimization/optimize.py`` + ``shared/algorithms.py``) as one
+explicit loop:
+
+  * batching: full-train-set batches by default (``abstract.py:108-109``),
+    random minibatches when BatchSize is configured
+    (``shared/algorithms.py:20-47``);
+  * the sample-transform pipeline (``train.py:205-247``'s t_func): degree-
+    weighted neighborhood subgraph sampling, 50% message-graph split,
+    negative sampling — producing fixed-shape padded device batches;
+  * jitted update step: grads + global-norm clip + algorithm update in one
+    XLA executable (vs the reference's feed_dict session.run per step);
+  * TrainLossReporter: initial loss at iteration 1, windowed average every
+    ReportTrainLossEvery (``shared/algorithms.py:82-116``);
+  * EarlyStopper: validation scoring every CheckEvery iterations, stop when
+    the score stops improving after the burn-in phase
+    (``shared/algorithms.py:119-161``);
+  * ModelSaver: checkpoint every CheckEvery unless stopping
+    (``shared/algorithms.py:61-79``) — extended with full train-state
+    resume, which the reference lacks (SURVEY.md §3.5).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..data.dataset import KGDataset
+from ..graph import GraphBatch, build_graph_batch
+from ..models.build import RGCNModel
+from ..sampling import (AdjacencyIndex, NegativeSampler, graph_split,
+                        sample_edge_neighborhood, sample_uniform_edges)
+from . import checkpoint as ckpt_lib
+from .optimizers import build_optimizer
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class TrainBatch(NamedTuple):
+    graph: Optional[GraphBatch]
+    triples: jax.Array   # [N_pad, 3] int32
+    labels: jax.Array    # [N_pad] float32
+    mask: jax.Array      # [N_pad] float32
+
+
+class BatchPipeline:
+    """Host-side per-iteration batch construction (t_func equivalent,
+    ``train.py:205-247``), emitting fixed shapes for single-executable jit.
+    """
+
+    def __init__(self, model: RGCNModel, config: RunConfig,
+                 dataset: KGDataset, rng: np.random.Generator,
+                 sampler: str = "neighborhood"):
+        self.model = model
+        self.config = config
+        self.train = np.asarray(dataset.train, dtype=np.int32)
+        self.rng = rng
+        self.sampler = sampler
+        t = config.training
+        self.ns = NegativeSampler(t.negative_sample_rate, config.entity_count,
+                                  rng)
+
+        n_train = len(self.train)
+        if model.needs_graph():
+            gbs = t.graph_batch_size or n_train
+            self.graph_batch_size = min(gbs, n_train)
+            self.split_size = int(t.graph_split_size * self.graph_batch_size)
+            self.graph_pad = max(_round_up(self.split_size, 128), 128)
+            self.adj = AdjacencyIndex(self.train, config.entity_count)
+            self.n_loss_triples = self.graph_batch_size * (
+                t.negative_sample_rate + 1)
+        else:
+            bs = config.optimizer.batch_size or n_train
+            self.batch_size = min(bs, n_train)
+            self.n_loss_triples = self.batch_size * (t.negative_sample_rate + 1)
+        self.triple_pad = max(_round_up(self.n_loss_triples, 128), 128)
+
+    def next(self) -> TrainBatch:
+        cfg = self.config
+        if self.model.needs_graph():
+            if self.graph_batch_size >= len(self.train):
+                batch_ids = np.arange(len(self.train), dtype=np.int32)
+            elif self.sampler == "neighborhood":
+                batch_ids = sample_edge_neighborhood(
+                    self.adj, self.graph_batch_size, self.rng)
+            else:
+                batch_ids = sample_uniform_edges(
+                    len(self.train), self.graph_batch_size, self.rng)
+            graph_batch = self.train[batch_ids]
+            split_ids = graph_split(batch_ids, cfg.training.graph_split_size,
+                                    self.rng)
+            graph = build_graph_batch(self.train[split_ids],
+                                      cfg.entity_count, cfg.relation_count,
+                                      pad_to=self.graph_pad)
+            x, y = self.ns.transform(graph_batch)
+        else:
+            graph = None
+            if getattr(self, "batch_size", None) and \
+                    self.batch_size < len(self.train):
+                idx = self.rng.choice(len(self.train), size=self.batch_size,
+                                      replace=False)
+                batch = self.train[idx]
+            else:
+                batch = self.train
+            x, y = self.ns.transform(batch)
+
+        n = len(x)
+        xp = np.zeros((self.triple_pad, 3), dtype=np.int32)
+        yp = np.zeros((self.triple_pad,), dtype=np.float32)
+        mp = np.zeros((self.triple_pad,), dtype=np.float32)
+        xp[:n] = x
+        yp[:n] = y
+        mp[:n] = 1.0
+        return TrainBatch(graph, jnp.asarray(xp), jnp.asarray(yp),
+                          jnp.asarray(mp))
+
+
+class _Prefetcher:
+    """Background-thread batch producer so host-side sampling overlaps with
+    device steps (the reference's host loop runs serially with the device,
+    SURVEY.md §3.3)."""
+
+    def __init__(self, pipeline: BatchPipeline, depth: int = 2):
+        self.pipeline = pipeline
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.stop_flag = False
+        self.error: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        try:
+            while not self.stop_flag:
+                batch = self.pipeline.next()
+                while not self.stop_flag:
+                    try:
+                        self.q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced on next()
+            self.error = e
+
+    def next(self) -> TrainBatch:
+        while True:
+            if self.error is not None:
+                raise self.error
+            try:
+                return self.q.get(timeout=1.0)
+            except queue.Empty:
+                continue
+
+    def close(self):
+        self.stop_flag = True
+
+
+@dataclass
+class FitResult:
+    params: dict
+    opt_state: object
+    iterations: int
+    stopped_early: bool
+    last_loss: float
+    best_score: Optional[float]
+
+
+class TrainLoop:
+    """fit() driver with loss reporting, early stopping, and checkpointing."""
+
+    def __init__(self, model: RGCNModel, config: RunConfig,
+                 dataset: KGDataset, *,
+                 scoring_function: Optional[Callable] = None,
+                 sampler: str = "neighborhood",
+                 seed: int = 0,
+                 log: Callable[[str], None] = print,
+                 prefetch: bool = True):
+        self.model = model
+        self.config = config
+        self.dataset = dataset
+        self.scoring_function = scoring_function
+        self.log = log
+        self.prefetch = prefetch
+        self.host_rng = np.random.default_rng(seed)
+        self.pipeline = BatchPipeline(model, config, dataset, self.host_rng,
+                                      sampler)
+        self.optimizer = build_optimizer(config.optimizer)
+        self.rng_key = jax.random.PRNGKey(seed)
+
+        def train_step(params, opt_state, graph, triples, labels, mask, rng):
+            def loss_fn(p):
+                return model.loss(p, graph, triples, labels, mask, rng=rng,
+                                  deterministic=False)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, opt_state, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def init_state(self, seed: int = 0):
+        params = self.model.init_params(jax.random.PRNGKey(seed))
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def fit(self, params=None, opt_state=None, *,
+            max_iterations: Optional[int] = None,
+            max_seconds: Optional[float] = None,
+            start_iteration: int = 0,
+            checkpoint_path: Optional[str] = None) -> FitResult:
+        cfg = self.config.optimizer
+        if params is None:
+            params, opt_state = self.init_state()
+        max_iter = max_iterations if max_iterations is not None \
+            else cfg.max_iterations
+        check_every = cfg.early_stopping_check_every
+        save_every = cfg.save_every_n or check_every
+        report_every = cfg.report_train_loss_every
+
+        source = _Prefetcher(self.pipeline) if self.prefetch \
+            else self.pipeline
+        started = time.time()
+        cumulative_loss = 0.0
+        previous_score = None
+        best_score = None
+        stopped = False
+        loss = float("nan")
+        i = start_iteration
+
+        try:
+            while True:
+                if max_iter is not None and i >= max_iter:
+                    break
+                if max_seconds is not None and time.time() - started \
+                        > max_seconds:
+                    break
+                i += 1
+                batch = source.next()
+                self.rng_key, step_key = jax.random.split(self.rng_key)
+                params, opt_state, loss_dev = self._train_step(
+                    params, opt_state, batch.graph, batch.triples,
+                    batch.labels, batch.mask, step_key)
+                loss = float(loss_dev)
+
+                # TrainLossReporter (shared/algorithms.py:82-116)
+                cumulative_loss += loss
+                if i == 1:
+                    cumulative_loss = 0.0
+                    self.log(f"Initial loss: {loss}")
+                elif report_every and i % report_every == 1:
+                    avg = cumulative_loss / float(report_every)
+                    cumulative_loss = 0.0
+                    self.log(f"Average train loss for iteration "
+                             f"{i - report_every}-{i - 1}: {avg}")
+
+                # EarlyStopper (shared/algorithms.py:119-161)
+                if self.scoring_function is not None and check_every \
+                        and i % check_every == 0:
+                    score = self.scoring_function(params)
+                    self.log(f"Tested validation score at iteration {i}. "
+                             f"Result: {score}")
+                    if best_score is None or score > best_score:
+                        best_score = score
+                    if previous_score is not None and not (
+                            score > previous_score):
+                        if i > cfg.early_stopping_burnin:
+                            self.log("Stopping criterion reached.")
+                            stopped = True
+                            break
+                        self.log("Ignoring criterion while in burn-in phase.")
+                    previous_score = score
+
+                # ModelSaver (shared/algorithms.py:61-79); skipped when the
+                # stopper fired, matching the decorator order.
+                if checkpoint_path and save_every and i % save_every == 0:
+                    ckpt_lib.save(checkpoint_path, params=params,
+                                  opt_state=opt_state, step=i,
+                                  rng_key=self.rng_key,
+                                  host_rng_state=self.host_rng.bit_generator.state)
+                    self.log("saving...")
+        finally:
+            if isinstance(source, _Prefetcher):
+                source.close()
+
+        return FitResult(params=params, opt_state=opt_state, iterations=i,
+                         stopped_early=stopped, last_loss=loss,
+                         best_score=best_score)
+
+    def resume(self, checkpoint_path: str, **fit_kwargs) -> FitResult:
+        """Restore the full train state and continue fitting — the resume
+        path the reference never had."""
+        state = ckpt_lib.restore_latest(checkpoint_path)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint at {checkpoint_path}")
+        self.rng_key = jnp.asarray(state["rng_key"])
+        if state.get("host_rng_state"):
+            self.host_rng.bit_generator.state = state["host_rng_state"]
+        return self.fit(params=state["params"],
+                        opt_state=state["opt_state"],
+                        start_iteration=state["step"],
+                        checkpoint_path=checkpoint_path, **fit_kwargs)

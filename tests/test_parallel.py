@@ -1,0 +1,111 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from relationprediction_tpu import config as config_lib
+from relationprediction_tpu.graph import build_graph_batch
+from relationprediction_tpu.models import build_model
+from relationprediction_tpu.parallel import (make_mesh,
+                                             make_sharded_train_step,
+                                             replicate, shard_batch)
+from relationprediction_tpu.training import BatchPipeline
+from relationprediction_tpu.training.optimizers import build_optimizer
+
+
+def make_setup(toy_dataset, exp="gcn_basis"):
+    ds = toy_dataset
+    cfg = config_lib.load(f"/root/reference/settings/{exp}.exp")
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder, code_dimension=16,
+                                    internal_dimension=16, n_bases=4),
+        decoder=dataclasses.replace(cfg.decoder, code_dimension=16))
+    cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+    model = build_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    graph = build_graph_batch(ds.train, ds.n_entities, ds.n_relations,
+                              pad_to=64)
+    rng = np.random.default_rng(0)
+    n = len(ds.train) * 11
+    pipeline = BatchPipeline(model, cfg, ds, rng)
+    batch = pipeline.next()
+    return cfg, model, params, graph, batch
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("exp", ["gcn_basis", "gcn_block"])
+def test_sharded_loss_matches_single_chip(toy_dataset, exp):
+    """The edge-sharded step must produce the exact same loss and update as
+    the single-device step (parallelism is an implementation detail)."""
+    cfg, model, params, graph, batch = make_setup(toy_dataset, exp)
+    opt = build_optimizer(cfg.optimizer)
+    mesh = make_mesh()
+
+    # Single-chip reference step.
+    def single_step(p, s, graph, t, y, m, rng):
+        def loss_fn(p):
+            return model.loss(p, graph, t, y, m, rng=rng,
+                              deterministic=False)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        return p, s, loss
+
+    rng = jax.random.PRNGKey(7)
+    opt_state = opt.init(params)
+    p1, s1, loss1 = jax.jit(single_step)(params, opt_state, batch.graph,
+                                         batch.triples, batch.labels,
+                                         batch.mask, rng)
+
+    step = make_sharded_train_step(model, opt, mesh)
+    params_r = replicate(mesh, params)
+    opt_state_r = replicate(mesh, opt.init(params))
+    g, t, y, m = shard_batch(mesh, batch.graph, batch.triples, batch.labels,
+                             batch.mask)
+    p2, s2, loss2 = step(params_r, opt_state_r, g, t, y, m, rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_sharded_step_runs_multiple_iterations(toy_dataset):
+    cfg, model, params, graph, batch = make_setup(toy_dataset)
+    opt = build_optimizer(cfg.optimizer)
+    mesh = make_mesh()
+    step = make_sharded_train_step(model, opt, mesh)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt.init(params))
+    g, t, y, m = shard_batch(mesh, batch.graph, batch.triples, batch.labels,
+                             batch.mask)
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(params, opt_state, g, t, y, m,
+                                       jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_embedding_model(toy_dataset):
+    """Non-graph (embedding) models shard only the triple batch."""
+    cfg, model, params, _, batch = make_setup(toy_dataset, "distmult")
+    opt = build_optimizer(cfg.optimizer)
+    mesh = make_mesh()
+    step = make_sharded_train_step(model, opt, mesh, has_graph=False)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt.init(params))
+    _, t, y, m = shard_batch(mesh, None, batch.triples, batch.labels,
+                             batch.mask)
+    p, s, loss = step(params, opt_state, None, t, y, m, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

@@ -1,0 +1,131 @@
+"""End-to-end training-engine tests on the Toy dataset."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from relationprediction_tpu import config as config_lib
+from relationprediction_tpu.data import dataset as dataset_lib
+from relationprediction_tpu.graph import build_graph_batch
+from relationprediction_tpu.models import build_model
+from relationprediction_tpu.training import TrainLoop, checkpoint
+
+
+def small_config(exp: str, ds):
+    cfg = config_lib.load(f"/root/reference/settings/{exp}.exp")
+    enc = dataclasses.replace(cfg.encoder, code_dimension=16,
+                              internal_dimension=16,
+                              n_bases=min(cfg.encoder.n_bases, 4))
+    dec = dataclasses.replace(cfg.decoder, code_dimension=16)
+    opt = dataclasses.replace(cfg.optimizer, report_train_loss_every=50,
+                              early_stopping_check_every=0)
+    cfg = dataclasses.replace(cfg, encoder=enc, decoder=dec, optimizer=opt)
+    return cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+
+
+def test_distmult_loss_decreases(toy_dataset):
+    cfg = small_config("distmult", toy_dataset)
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                     prefetch=False)
+    params, opt_state = loop.init_state()
+    import jax
+    g = None
+    first = float(model.loss(params, g,
+                             np.asarray(toy_dataset.train),
+                             np.ones(len(toy_dataset.train), np.float32),
+                             rng=jax.random.PRNGKey(0), deterministic=True))
+    result = loop.fit(params, opt_state, max_iterations=60)
+    assert result.iterations == 60
+    assert np.isfinite(result.last_loss)
+    assert result.last_loss < first
+
+
+def test_gcn_basis_trains(toy_dataset):
+    cfg = small_config("gcn_basis", toy_dataset)
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                     prefetch=False)
+    result = loop.fit(max_iterations=25)
+    assert np.isfinite(result.last_loss)
+    assert result.iterations == 25
+
+
+def test_early_stopping_fires(toy_dataset):
+    cfg = small_config("distmult", toy_dataset)
+    opt = dataclasses.replace(cfg.optimizer, early_stopping_check_every=5,
+                              early_stopping_burnin=0)
+    cfg = dataclasses.replace(cfg, optimizer=opt)
+    model = build_model(cfg)
+    scores = iter([0.5, 0.4])  # second check fails the comparator
+
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0,
+                     scoring_function=lambda p: next(scores),
+                     log=lambda s: None, prefetch=False)
+    result = loop.fit(max_iterations=100)
+    assert result.stopped_early
+    assert result.iterations == 10
+
+
+def test_early_stopping_burnin_protects(toy_dataset):
+    cfg = small_config("distmult", toy_dataset)
+    opt = dataclasses.replace(cfg.optimizer, early_stopping_check_every=5,
+                              early_stopping_burnin=20)
+    cfg = dataclasses.replace(cfg, optimizer=opt)
+    model = build_model(cfg)
+    scores = iter([0.5, 0.4, 0.3, 0.2, 0.1, 0.05])
+
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0,
+                     scoring_function=lambda p: next(scores),
+                     log=lambda s: None, prefetch=False)
+    result = loop.fit(max_iterations=100)
+    # Worsening scores during burn-in (iters 5..20) are ignored; the first
+    # check past burnin is iteration 25.
+    assert result.stopped_early
+    assert result.iterations == 25
+
+
+def test_checkpoint_save_resume(toy_dataset, tmp_path):
+    cfg = small_config("distmult", toy_dataset)
+    opt = dataclasses.replace(cfg.optimizer, early_stopping_check_every=0,
+                              save_every_n=10)
+    cfg = dataclasses.replace(cfg, optimizer=opt)
+    model = build_model(cfg)
+    path = str(tmp_path / "model")
+
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                     prefetch=False)
+    loop.fit(max_iterations=20, checkpoint_path=path)
+    assert os.path.exists(path + "-20.ckpt")
+    state = checkpoint.restore_latest(path)
+    assert state["step"] == 20
+
+    # Resume and continue; deterministic continuation of the same stream.
+    loop2 = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                      prefetch=False)
+    result = loop2.resume(path, max_iterations=30)
+    assert result.iterations == 30
+
+
+def test_prefetcher_matches_serial(toy_dataset):
+    cfg = small_config("distmult", toy_dataset)
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                     prefetch=True)
+    result = loop.fit(max_iterations=10)
+    assert np.isfinite(result.last_loss)
+
+
+def test_minibatches_component(toy_dataset):
+    cfg = small_config("distmult", toy_dataset)
+    opt = dataclasses.replace(cfg.optimizer, batch_size=16)
+    cfg = dataclasses.replace(cfg, optimizer=opt)
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                     prefetch=False)
+    assert loop.pipeline.batch_size == 16
+    batch = loop.pipeline.next()
+    assert float(np.asarray(batch.mask).sum()) == 16 * 11
+    result = loop.fit(max_iterations=5)
+    assert np.isfinite(result.last_loss)

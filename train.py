@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Experiment driver CLI.
+
+TPU-native counterpart of the reference entry point
+(``code/train.py`` / ``run-train.sh``):
+
+    python train.py --settings settings/gcn_basis.exp --dataset <dir>
+
+Loads an .exp settings file, wires dataset + model + scorer + training
+engine, trains with validation-MRR early stopping, and reports test metrics.
+Additions over the reference: --resume (full train-state restore),
+--max-iterations / --max-seconds budget caps, --sampler fast path, and a
+synthetic dataset escape hatch for missing public splits.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from relationprediction_tpu import config as config_lib
+from relationprediction_tpu.data import dataset as dataset_lib
+from relationprediction_tpu.data import synthetic
+from relationprediction_tpu.evaluation import Scorer
+from relationprediction_tpu.graph import build_graph_batch
+from relationprediction_tpu.models.build import JittedModelView, build_model
+from relationprediction_tpu.training import TrainLoop
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Train a model on a given dataset.")
+    parser.add_argument("--settings", required=True,
+                        help="Filepath for settings (.exp) file.")
+    parser.add_argument("--dataset", required=True,
+                        help="Dataset directory, or synth:<profile> "
+                             "(e.g. synth:FB15k-237).")
+    parser.add_argument("--max-iterations", type=int, default=None)
+    parser.add_argument("--max-seconds", type=float, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the experiment checkpoint.")
+    parser.add_argument("--sampler", default="neighborhood",
+                        choices=["neighborhood", "uniform"],
+                        help="Subgraph sampler (uniform = faster host path).")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force CPU execution.")
+    args = parser.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = config_lib.load(args.settings)
+
+    if args.dataset.startswith("synth:"):
+        ds = synthetic.like(args.dataset.split(":", 1)[1], seed=args.seed)
+    else:
+        ds = dataset_lib.load(args.dataset, metric=cfg.training.metric)
+    cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+    print(f"Dataset {ds.name}: {ds.n_entities} entities, "
+          f"{ds.n_relations} relations, {len(ds.train)} train triples")
+
+    model = build_model(cfg)
+    view = JittedModelView(model)
+
+    # Test-mode graph = the full training graph (``train.py:255-256``).
+    eval_graph = None
+    if model.needs_graph():
+        eval_graph = build_graph_batch(
+            ds.train, ds.n_entities, ds.n_relations,
+            pad_to=_round_up(len(ds.train), 128))
+
+    scorer = Scorer(metric=cfg.training.metric)
+    scorer.register_data(ds.train)
+    scorer.register_data(ds.valid)
+    scorer.register_data(ds.test)
+    scorer.register_degrees(ds.train)
+    scorer.register_model(view, None, eval_graph, n_entities=ds.n_entities)
+    scorer.finalize_frequency_computation(ds.all_triples())
+
+    metric_key = ("MRR" if cfg.training.metric == "MRR" else "Accuracy")
+
+    def score_validation_data(params) -> float:
+        """Early-stopping score: validation filtered metric; also prints the
+        test metrics each check (``train.py:110-126``)."""
+        scorer.set_params(params)
+        summary = scorer.compute_scores(ds.valid)
+        early_stopping = summary.results["Filtered"][metric_key]
+        scorer.compute_scores(ds.test).pretty_print()
+        return early_stopping
+
+    loop = TrainLoop(model, cfg, ds, scoring_function=score_validation_data,
+                     sampler=args.sampler, seed=args.seed)
+
+    checkpoint_path = cfg.training.experiment_name
+    t0 = time.time()
+    if args.resume:
+        result = loop.resume(checkpoint_path,
+                             max_iterations=args.max_iterations,
+                             max_seconds=args.max_seconds)
+    else:
+        result = loop.fit(max_iterations=args.max_iterations,
+                          max_seconds=args.max_seconds,
+                          checkpoint_path=checkpoint_path)
+    wall = time.time() - t0
+
+    print(f"Training done: {result.iterations} iterations in {wall:.1f}s "
+          f"(early stop: {result.stopped_early})")
+    scorer.set_params(result.params)
+    print("Final test metrics:")
+    scorer.compute_scores(ds.test).pretty_print()
+
+
+if __name__ == "__main__":
+    main()
