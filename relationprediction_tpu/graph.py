@@ -53,10 +53,22 @@ class GraphBatch(NamedTuple):
     bwd_norm: Optional[jax.Array]
     n_vertices: int
     n_relations: int
+    # Relation bucketing (for block-diagonal / relation-batched transforms):
+    # edges sorted by relation and padded so each fixed-size bucket of
+    # ``bucket_size`` consecutive edges carries a single relation
+    # (bucket_rel[b]). None -> unbucketed layout.
+    bucket_rel: Optional[jax.Array] = None
+    bucket_size: Optional[int] = None
 
     @property
     def n_padded_edges(self) -> int:
         return self.senders.shape[0]
+
+    @property
+    def n_buckets(self) -> Optional[int]:
+        if self.bucket_size is None:
+            return None
+        return self.senders.shape[0] // self.bucket_size
 
 
 # Register n_vertices / n_relations as static aux data so GraphBatch can
@@ -64,24 +76,43 @@ class GraphBatch(NamedTuple):
 jax.tree_util.register_pytree_node(
     GraphBatch,
     lambda g: ((g.senders, g.relations, g.receivers, g.mask, g.fwd_norm,
-                g.bwd_norm),
-               (g.n_vertices, g.n_relations)),
-    lambda aux, children: GraphBatch(*children, *aux),
+                g.bwd_norm, g.bucket_rel),
+               (g.n_vertices, g.n_relations, g.bucket_size)),
+    lambda aux, children: GraphBatch(
+        senders=children[0], relations=children[1], receivers=children[2],
+        mask=children[3], fwd_norm=children[4], bwd_norm=children[5],
+        bucket_rel=children[6], n_vertices=aux[0], n_relations=aux[1],
+        bucket_size=aux[2]),
 )
 
 
 def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
                       pad_to: Optional[int] = None,
-                      normalization: str = "global") -> GraphBatch:
+                      normalization: str = "global",
+                      bucket_size: Optional[int] = None,
+                      shard_align: int = 8) -> GraphBatch:
     """Host-side construction of a GraphBatch from an [N, 3] (s, r, o) array.
 
     ``pad_to`` fixes the edge-array length so that repeated calls with
     varying edge counts hit one compiled executable. ``normalization``
     selects the precomputed aggregation weights ('global' | 'local' |
     'none' | None to defer to the device).
+
+    ``bucket_size``: relation-bucketed layout — edges are sorted by
+    relation and each relation's run padded to a multiple of bucket_size,
+    so every bucket of consecutive edges has ONE relation (bucket_rel).
+    Relation-conditioned transforms then load each relation's weights once
+    per bucket instead of once per edge. The padded length is rounded to a
+    multiple of ``bucket_size * shard_align`` so the edge axis stays evenly
+    shardable across a device mesh.
     """
     triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
     n = triples.shape[0]
+
+    if bucket_size is not None:
+        return _build_bucketed(triples, n_vertices, n_relations, pad_to,
+                               normalization, bucket_size, shard_align)
+
     e_pad = pad_to if pad_to is not None else n
     if e_pad < n:
         raise ValueError(f"pad_to={e_pad} smaller than edge count {n}")
@@ -112,6 +143,79 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
         bwd_norm=None if bwd is None else jnp.asarray(bwd),
         n_vertices=int(n_vertices),
         n_relations=int(n_relations),
+    )
+
+
+def bucketed_size(counts: np.ndarray, bucket_size: int) -> int:
+    """Total edge slots after padding each relation's count up to a
+    multiple of bucket_size."""
+    nz = counts[counts > 0]
+    return int((-(-nz // bucket_size) * bucket_size).sum())
+
+
+def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
+                    pad_to: Optional[int], normalization: Optional[str],
+                    bucket_size: int, shard_align: int) -> GraphBatch:
+    n = triples.shape[0]
+    counts = np.bincount(triples[:, 1], minlength=n_relations)
+    padded_counts = -(-counts // bucket_size) * bucket_size  # 0 stays 0
+    needed = int(padded_counts.sum())
+
+    align = bucket_size * shard_align
+    e_pad = pad_to if pad_to is not None else needed
+    # If the caller's pad can't hold the bucketed layout, grow it to the
+    # next aligned size rather than failing; the shape stays a pure
+    # function of the rounded size so executables are still reused.
+    e_pad = -(-max(e_pad, needed, align) // align) * align
+
+    offsets = np.zeros(n_relations + 1, dtype=np.int64)
+    np.cumsum(padded_counts, out=offsets[1:])
+
+    senders = np.full((e_pad,), n_vertices, dtype=np.int32)
+    relations = np.zeros((e_pad,), dtype=np.int32)
+    receivers = np.full((e_pad,), n_vertices, dtype=np.int32)
+    mask = np.zeros((e_pad,), dtype=np.float32)
+
+    # Rank of each edge within its relation, then place at offset + rank.
+    order = np.argsort(triples[:, 1], kind="stable")
+    sorted_t = triples[order]
+    run_start = np.zeros(n_relations + 1, dtype=np.int64)
+    np.cumsum(counts, out=run_start[1:])
+    rank = np.arange(n, dtype=np.int64) - run_start[sorted_t[:, 1]]
+    pos = offsets[sorted_t[:, 1]] + rank
+    senders[pos] = sorted_t[:, 0]
+    relations[pos] = sorted_t[:, 1]
+    receivers[pos] = sorted_t[:, 2]
+    mask[pos] = 1.0
+
+    # Padding slots inside a relation's run still carry that relation id so
+    # the whole bucket is single-relation; fully-empty trailing buckets
+    # keep relation 0.
+    for r in range(n_relations):
+        b, e = offsets[r], offsets[r + 1]
+        relations[b:e] = r
+
+    n_buckets = e_pad // bucket_size
+    bucket_rel = relations.reshape(n_buckets, bucket_size)[:, 0].copy()
+
+    fwd = bwd = None
+    if normalization is not None:
+        fwd = _host_norm(receivers, relations, mask, n_vertices, n_relations,
+                         normalization)
+        bwd = _host_norm(senders, relations, mask, n_vertices, n_relations,
+                         normalization)
+
+    return GraphBatch(
+        senders=jnp.asarray(senders),
+        relations=jnp.asarray(relations),
+        receivers=jnp.asarray(receivers),
+        mask=jnp.asarray(mask),
+        fwd_norm=None if fwd is None else jnp.asarray(fwd),
+        bwd_norm=None if bwd is None else jnp.asarray(bwd),
+        n_vertices=int(n_vertices),
+        n_relations=int(n_relations),
+        bucket_rel=jnp.asarray(bucket_rel),
+        bucket_size=int(bucket_size),
     )
 
 

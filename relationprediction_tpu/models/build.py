@@ -128,6 +128,99 @@ class RGCNModel:
     def needs_graph(self) -> bool:
         return self.is_gcn
 
+    @property
+    def has_state(self) -> bool:
+        """True for the stored-message (incremental) encoder variant, whose
+        layers carry message caches threaded through each train step."""
+        e = self.config.encoder
+        return (self.is_gcn and e.name != "gcn_diag"
+                and e.gcn_variant == "basis_stored")
+
+    def init_cache_state(self) -> list:
+        """Per-layer stored-message caches (``gcn_basis_stored.py:33-35``)."""
+        e = self.config.encoder
+        return [enc.init_stored_state(self.config.edge_count,
+                                      self.n_entities, e.internal_dimension)
+                for _ in range(e.n_layers)]
+
+    def encode_stateful(self, params: Dict, state: list, graph: GraphBatch,
+                        edge_ids: jax.Array, *, rng: jax.Array
+                        ) -> Tuple[EncodeResult, list]:
+        """Train-mode encode for the stored-message variant: like encode()
+        but each layer consumes and produces its cache state."""
+        e = self.config.encoder
+        assert self.has_state
+        if e.use_input_transform:
+            features = enc.apply_affine(params["input_transform"], None,
+                                        onehot_input=True, use_bias=True,
+                                        use_nonlinearity=True)
+        else:
+            features = None
+        new_state = []
+        for layer_idx, layer_params in enumerate(params["gcn_layers"]):
+            use_nonlinearity = layer_idx < e.n_layers - 1
+            features, st = enc.apply_gcn_layer_stored(
+                layer_params, state[layer_idx], graph, features, edge_ids,
+                n_bases=e.n_bases, use_nonlinearity=use_nonlinearity,
+                dropout_keep=e.dropout_keep_probability,
+                deterministic=False,
+                rng=jax.random.fold_in(rng, 100 + layer_idx),
+                n_vertices=self.n_entities)
+            new_state.append(st)
+        if e.use_output_transform:
+            features = enc.apply_affine(params["output_transform"], features,
+                                        use_bias=True)
+        rel = params["relation_embedding"]["W_relation"]
+        return EncodeResult(features, rel), new_state
+
+    def loss_stateful(self, params: Dict, state: list, graph: GraphBatch,
+                      edge_ids: jax.Array, triples: jax.Array,
+                      labels: jax.Array, mask: Optional[jax.Array] = None,
+                      *, rng: jax.Array) -> Tuple[jax.Array, list]:
+        """Training loss for the stored variant; returns (loss, new_state).
+        The cache updates are treated as non-differentiable side state, as
+        in the reference (scatter ops outside the gradient path)."""
+        encoded, new_state = self.encode_stateful(params, state, graph,
+                                                  edge_ids, rng=rng)
+        new_state = jax.lax.stop_gradient(new_state)
+        e1, r, e2 = self.gather_codes(encoded, triples)
+        energies = self.decoder.energies(params["decoder"], e1, r, e2)
+        loss = decoders_lib.weighted_ce_loss(energies, labels, mask)
+        loss = loss + self.decoder.regularization(params["decoder"], e1, r,
+                                                  e2, mask)
+        return loss, new_state
+
+    @property
+    def preferred_bucket_size(self) -> Optional[int]:
+        """Relation-bucket size for the GraphBatch layout. Block-diagonal
+        layers gather per-relation weight stacks; bucketing loads each
+        stack once per bucket instead of once per edge."""
+        e = self.config.encoder
+        if self.is_gcn and e.name != "gcn_diag" and e.gcn_variant == "block":
+            return 64
+        return None
+
+    def make_graph(self, triples, pad_to: Optional[int] = None,
+                   shard_align: int = 8) -> GraphBatch:
+        """Build a GraphBatch in this model's preferred layout.
+
+        For bucketed layouts, pass the same ``pad_to`` upper bound every
+        step (e.g. split_size + R * (bucket_size - 1)) to keep shapes
+        static across resampled subgraphs.
+        """
+        from ..graph import build_graph_batch
+        return build_graph_batch(
+            triples, self.n_entities, self.n_relations, pad_to=pad_to,
+            bucket_size=self.preferred_bucket_size, shard_align=shard_align)
+
+    def graph_pad_bound(self, n_edges: int) -> int:
+        """A fixed pad size that accommodates any n_edges-edge subgraph in
+        the preferred layout (worst-case relation-padding included)."""
+        b = self.preferred_bucket_size
+        if b is None:
+            return max(-(-n_edges // 128) * 128, 128)
+        return n_edges + self.n_relations * (b - 1)
+
     def encode(self, params: Dict, graph: Optional[GraphBatch], *,
                deterministic: bool, rng: Optional[jax.Array] = None,
                axis_name: Optional[str] = None) -> EncodeResult:

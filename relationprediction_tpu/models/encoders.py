@@ -153,7 +153,8 @@ def init_gcn_layer(key, variant: str, *, n_relations: int, d_in: int,
 
 def _edge_messages(params: Dict, variant: str, features: Optional[jax.Array],
                    vertices: jax.Array, relations: jax.Array,
-                   direction: str, n_bases: int) -> jax.Array:
+                   direction: str, n_bases: int,
+                   graph: Optional[GraphBatch] = None) -> jax.Array:
     """Per-edge messages for one direction.
 
     direction='forward': messages from senders (W_forward/C_forward);
@@ -186,6 +187,10 @@ def _edge_messages(params: Dict, variant: str, features: Optional[jax.Array],
         if features is None:
             raise ValueError("block-diagonal layer requires dense input "
                              "(use an input transform before it)")
+        if graph is not None and graph.bucket_rel is not None:
+            return relblock.block_diag_messages_bucketed(
+                features, params[f"W_{sfx}"], vertices, graph.bucket_rel,
+                n_bases, graph.bucket_size)
         return relblock.block_diag_messages(
             features, params[f"W_{sfx}"], vertices, relations, n_bases)
 
@@ -236,9 +241,9 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
     if features is not None:
         features = jnp.asarray(features)
     fwd = _edge_messages(params, variant, features, graph.senders,
-                         graph.relations, "forward", n_bases)
+                         graph.relations, "forward", n_bases, graph)
     bwd = _edge_messages(params, variant, features, graph.receivers,
-                         graph.relations, "backward", n_bases)
+                         graph.relations, "backward", n_bases, graph)
 
     norm = "none" if variant == "basis_stored" else "global"
     w_f = graph_lib.degree_normalization(graph, "forward", norm)
@@ -273,6 +278,74 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
     if use_nonlinearity:
         out = jax.nn.relu(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stored-message (incremental) layer state — BasisGcnStore
+# ---------------------------------------------------------------------------
+
+def init_stored_state(n_edges_total: int, n_vertices: int, d: int) -> Dict:
+    """Zero-initialized message/vertex caches (``gcn_basis_stored.py:33-35``).
+    Caches carry one extra phantom row indexed by padding edge ids."""
+    return {
+        "cached_messages_f": jnp.zeros((n_edges_total + 1, d), jnp.float32),
+        "cached_messages_b": jnp.zeros((n_edges_total + 1, d), jnp.float32),
+        "cached_vertex_embeddings": jnp.zeros((n_vertices, d), jnp.float32),
+    }
+
+
+def apply_gcn_layer_stored(params: Dict, state: Dict, graph: GraphBatch,
+                           features: Optional[jax.Array],
+                           edge_ids: jax.Array, *, n_bases: int,
+                           use_nonlinearity: bool, dropout_keep: float,
+                           deterministic: bool, rng: Optional[jax.Array],
+                           n_vertices: int) -> tuple:
+    """Train-mode BasisGcnStore layer (``gcn_basis_stored.py:91-112``):
+    aggregate only the *delta* between freshly computed batch-edge messages
+    and their cached values over UNNORMALIZED incidence, add the cached
+    vertex state, then write the caches back. The reference does this with
+    scatter_update side-effect ops run by the optimizer
+    (``optimize.py:84-86``); here the state is threaded functionally.
+
+    edge_ids: [E_pad] global edge ids of the batch edges (padding -> the
+    caches' phantom row). Returns (vertex_embeddings, new_state).
+    """
+    if features is not None:
+        features = jnp.asarray(features)
+    fwd = _edge_messages(params, "basis", features, graph.senders,
+                         graph.relations, "forward", n_bases, graph)
+    bwd = _edge_messages(params, "basis", features, graph.receivers,
+                         graph.relations, "backward", n_bases, graph)
+    # Padding edges must contribute zero delta AND write zeros to the
+    # phantom cache row.
+    fwd = fwd * graph.mask[:, None]
+    bwd = bwd * graph.mask[:, None]
+
+    fwd_delta = fwd - state["cached_messages_f"][edge_ids] * graph.mask[:, None]
+    bwd_delta = bwd - state["cached_messages_b"][edge_ids] * graph.mask[:, None]
+
+    w = graph.mask  # 'none' normalization (gcn_basis_stored.py:87-88)
+    collected = (graph_lib.aggregate(fwd_delta, w, graph.receivers,
+                                     n_vertices)
+                 + graph_lib.aggregate(bwd_delta, w, graph.senders,
+                                       n_vertices))
+    updated_vertex = collected + state["cached_vertex_embeddings"]
+
+    new_state = {
+        "cached_messages_f": state["cached_messages_f"].at[edge_ids].set(fwd),
+        "cached_messages_b": state["cached_messages_b"].at[edge_ids].set(bwd),
+        "cached_vertex_embeddings": updated_vertex,
+    }
+
+    self_loop = apply_affine({"W": params["W_self"]}, features,
+                             onehot_input=features is None, use_bias=False)
+    if not deterministic:
+        keep = jax.random.bernoulli(rng, dropout_keep, self_loop.shape)
+        self_loop = jnp.where(keep, self_loop / dropout_keep, 0.0)
+    out = updated_vertex + self_loop
+    if use_nonlinearity:
+        out = jax.nn.relu(out)
+    return out, new_state
 
 
 # ---------------------------------------------------------------------------

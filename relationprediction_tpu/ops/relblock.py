@@ -84,6 +84,31 @@ def block_diag_messages(features, blocks, edge_vertices, edge_relations,
     return y.reshape(-1, d)
 
 
+def block_diag_messages_bucketed(features, blocks, edge_vertices, bucket_rel,
+                                 n_blocks: int, bucket_size: int):
+    """Relation-bucketed block-diagonal transform.
+
+    Requires the GraphBatch's bucketed layout: edges sorted by relation and
+    padded so each run of ``bucket_size`` consecutive edges shares one
+    relation (bucket_rel[b]). Each relation's [B, dr, dr] block stack is
+    then loaded once per bucket instead of once per edge — cutting weight
+    traffic by bucket_size x (the per-edge gather at FB15k-237 scale moves
+    ~hundreds of GB per layer; this moves ~n_buckets * B * dr^2 floats).
+
+    features: [V(+1 phantom ok via clamp), d]; blocks: [R, B, dr, dr];
+    edge_vertices: [E] int32 in bucketed order; bucket_rel: [E/bucket_size].
+    Returns [E, d] messages in bucketed edge order.
+    """
+    features = jnp.asarray(features)
+    d = features.shape[1]
+    dr = d // n_blocks
+    nb = edge_vertices.shape[0] // bucket_size
+    x = features[edge_vertices].reshape(nb, bucket_size, n_blocks, dr)
+    w = jnp.asarray(blocks)[bucket_rel]                     # [nb, B, dr, dr]
+    y = jnp.einsum("ntbj,nbij->ntbi", x, w)
+    return y.reshape(-1, d)
+
+
 def diag_messages(features, diags, edge_vertices, edge_relations):
     """Per-relation diagonal scaling (DiagGcn, ``gcn_diag.py:30-38``):
     m_e = x_{v_e} * D[r_e]."""

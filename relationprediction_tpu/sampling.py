@@ -181,6 +181,19 @@ def sample_edge_neighborhood(adj: AdjacencyIndex, sample_size: int,
     return edges
 
 
+def sample_edge_neighborhood_fast(adj: AdjacencyIndex, sample_size: int,
+                                  rng: Optional[np.random.Generator] = None
+                                  ) -> np.ndarray:
+    """Neighborhood sampling via the native C++ kernel when available
+    (same distribution, different RNG stream), numpy otherwise."""
+    rng = rng if rng is not None else np.random.default_rng()
+    from . import native
+    if native.available():
+        seed = int(rng.integers(0, 2 ** 63 - 1))
+        return native.sample_edge_neighborhood(adj, sample_size, seed)
+    return sample_edge_neighborhood(adj, sample_size, rng)
+
+
 def sample_uniform_edges(n_edges: int, sample_size: int,
                          rng: Optional[np.random.Generator] = None
                          ) -> np.ndarray:

@@ -38,7 +38,7 @@ from ..data.dataset import KGDataset
 from ..graph import GraphBatch, build_graph_batch
 from ..models.build import RGCNModel
 from ..sampling import (AdjacencyIndex, NegativeSampler, graph_split,
-                        sample_edge_neighborhood, sample_uniform_edges)
+                        sample_edge_neighborhood_fast, sample_uniform_edges)
 from . import checkpoint as ckpt_lib
 from .optimizers import build_optimizer
 
@@ -52,6 +52,9 @@ class TrainBatch(NamedTuple):
     triples: jax.Array   # [N_pad, 3] int32
     labels: jax.Array    # [N_pad] float32
     mask: jax.Array      # [N_pad] float32
+    # Global edge ids of the graph edges (stored-message variant only;
+    # padding slots -> edge_count phantom row):
+    edge_ids: Optional[jax.Array] = None
 
 
 class BatchPipeline:
@@ -76,7 +79,7 @@ class BatchPipeline:
             gbs = t.graph_batch_size or n_train
             self.graph_batch_size = min(gbs, n_train)
             self.split_size = int(t.graph_split_size * self.graph_batch_size)
-            self.graph_pad = max(_round_up(self.split_size, 128), 128)
+            self.graph_pad = model.graph_pad_bound(self.split_size)
             self.adj = AdjacencyIndex(self.train, config.entity_count)
             self.n_loss_triples = self.graph_batch_size * (
                 t.negative_sample_rate + 1)
@@ -88,11 +91,12 @@ class BatchPipeline:
 
     def next(self) -> TrainBatch:
         cfg = self.config
+        edge_ids = None
         if self.model.needs_graph():
             if self.graph_batch_size >= len(self.train):
                 batch_ids = np.arange(len(self.train), dtype=np.int32)
             elif self.sampler == "neighborhood":
-                batch_ids = sample_edge_neighborhood(
+                batch_ids = sample_edge_neighborhood_fast(
                     self.adj, self.graph_batch_size, self.rng)
             else:
                 batch_ids = sample_uniform_edges(
@@ -100,9 +104,15 @@ class BatchPipeline:
             graph_batch = self.train[batch_ids]
             split_ids = graph_split(batch_ids, cfg.training.graph_split_size,
                                     self.rng)
-            graph = build_graph_batch(self.train[split_ids],
-                                      cfg.entity_count, cfg.relation_count,
-                                      pad_to=self.graph_pad)
+            graph = self.model.make_graph(self.train[split_ids],
+                                          pad_to=self.graph_pad)
+            if self.model.has_state:
+                # Stored variant: keep the split's global edge ids, padded
+                # to the graph's static edge count with the phantom row.
+                edge_ids = np.full((graph.n_padded_edges,),
+                                   len(self.train), dtype=np.int32)
+                edge_ids[:len(split_ids)] = split_ids
+                edge_ids = jnp.asarray(edge_ids)
             x, y = self.ns.transform(graph_batch)
         else:
             graph = None
@@ -123,7 +133,7 @@ class BatchPipeline:
         yp[:n] = y
         mp[:n] = 1.0
         return TrainBatch(graph, jnp.asarray(xp), jnp.asarray(yp),
-                          jnp.asarray(mp))
+                          jnp.asarray(mp), edge_ids=edge_ids)
 
 
 class _Prefetcher:
@@ -210,6 +220,24 @@ class TrainLoop:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
+        def train_step_stateful(params, opt_state, cache, graph, edge_ids,
+                                triples, labels, mask, rng):
+            def loss_fn(p):
+                return model.loss_stateful(p, cache, graph, edge_ids,
+                                           triples, labels, mask, rng=rng)
+            (loss, new_cache), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, opt_state, new_cache, loss
+
+        self._train_step_stateful = jax.jit(train_step_stateful,
+                                            donate_argnums=(0, 1, 2))
+        self.cache_state = (model.init_cache_state() if model.has_state
+                            else None)
+
     def init_state(self, seed: int = 0):
         params = self.model.init_params(jax.random.PRNGKey(seed))
         opt_state = self.optimizer.init(params)
@@ -249,9 +277,16 @@ class TrainLoop:
                 i += 1
                 batch = source.next()
                 self.rng_key, step_key = jax.random.split(self.rng_key)
-                params, opt_state, loss_dev = self._train_step(
-                    params, opt_state, batch.graph, batch.triples,
-                    batch.labels, batch.mask, step_key)
+                if self.model.has_state:
+                    params, opt_state, self.cache_state, loss_dev = \
+                        self._train_step_stateful(
+                            params, opt_state, self.cache_state,
+                            batch.graph, batch.edge_ids, batch.triples,
+                            batch.labels, batch.mask, step_key)
+                else:
+                    params, opt_state, loss_dev = self._train_step(
+                        params, opt_state, batch.graph, batch.triples,
+                        batch.labels, batch.mask, step_key)
                 loss = float(loss_dev)
 
                 # TrainLossReporter (shared/algorithms.py:82-116)

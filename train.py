@@ -72,9 +72,8 @@ def main() -> None:
     # Test-mode graph = the full training graph (``train.py:255-256``).
     eval_graph = None
     if model.needs_graph():
-        eval_graph = build_graph_batch(
-            ds.train, ds.n_entities, ds.n_relations,
-            pad_to=_round_up(len(ds.train), 128))
+        eval_graph = model.make_graph(
+            ds.train, pad_to=_round_up(len(ds.train), 128))
 
     scorer = Scorer(metric=cfg.training.metric)
     scorer.register_data(ds.train)
