@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RunConfig
+from ..observability import MetricLogger, StepTimer
 from ..data.dataset import KGDataset
 from ..graph import GraphBatch, build_graph_batch
 from ..models.build import RGCNModel
@@ -194,7 +195,8 @@ class TrainLoop:
                  sampler: str = "neighborhood",
                  seed: int = 0,
                  log: Callable[[str], None] = print,
-                 prefetch: bool = True):
+                 prefetch: bool = True,
+                 metrics_path: Optional[str] = None):
         self.model = model
         self.config = config
         self.dataset = dataset
@@ -202,6 +204,8 @@ class TrainLoop:
         self.log = log
         self.prefetch = prefetch
         self.host_rng = np.random.default_rng(seed)
+        self.metrics = MetricLogger(metrics_path, echo=False)
+        self.timer = StepTimer()
         self.pipeline = BatchPipeline(model, config, dataset, self.host_rng,
                                       sampler)
         self.optimizer = build_optimizer(config.optimizer)
@@ -277,6 +281,10 @@ class TrainLoop:
                 i += 1
                 batch = source.next()
                 self.rng_key, step_key = jax.random.split(self.rng_key)
+                step_edges = getattr(self.pipeline, "split_size", 0)
+                timer_ctx = self.timer.step(
+                    edges=step_edges, triples=int(batch.mask.shape[0]))
+                timer_ctx.__enter__()
                 if self.model.has_state:
                     params, opt_state, self.cache_state, loss_dev = \
                         self._train_step_stateful(
@@ -288,6 +296,7 @@ class TrainLoop:
                         params, opt_state, batch.graph, batch.triples,
                         batch.labels, batch.mask, step_key)
                 loss = float(loss_dev)
+                timer_ctx.__exit__(None, None, None)
 
                 # TrainLossReporter (shared/algorithms.py:82-116)
                 cumulative_loss += loss
@@ -299,6 +308,8 @@ class TrainLoop:
                     cumulative_loss = 0.0
                     self.log(f"Average train loss for iteration "
                              f"{i - report_every}-{i - 1}: {avg}")
+                    self.metrics.log("train_loss", iteration=i - 1,
+                                     loss=avg, **self.timer.summary())
 
                 # EarlyStopper (shared/algorithms.py:119-161)
                 if self.scoring_function is not None and check_every \
@@ -306,6 +317,7 @@ class TrainLoop:
                     score = self.scoring_function(params)
                     self.log(f"Tested validation score at iteration {i}. "
                              f"Result: {score}")
+                    self.metrics.log("validation", iteration=i, score=score)
                     if best_score is None or score > best_score:
                         best_score = score
                     if previous_score is not None and not (
