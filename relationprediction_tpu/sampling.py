@@ -81,6 +81,32 @@ class NegativeSampler:
         return out, labels
 
 
+class RelationFilter:
+    """Keep the n_keep-1 most frequent relations, remapping the rest to one
+    shared bucket id (``auxilliaries.py:77-108``; unused by the shipped
+    reference configs but part of the API surface)."""
+
+    def __init__(self, n_keep: int):
+        self.n_keep = n_keep - 1
+        self.mapping: Dict[int, int] = {}
+
+    def register(self, triples: np.ndarray,
+                 original_relations: Dict[str, int]) -> None:
+        counts = {rid: 0 for rid in original_relations.values()}
+        for _, r, _ in np.asarray(triples):
+            counts[int(r)] += 1
+        ranked = sorted(counts.items(), key=lambda kv: kv[1], reverse=True)
+        kept = [rid for rid, _ in ranked[: self.n_keep]]
+        self.mapping = {rid: i for i, rid in enumerate(kept)}
+        for rid, _ in ranked[self.n_keep:]:
+            self.mapping[rid] = self.n_keep
+
+    def filter(self, triples: np.ndarray) -> np.ndarray:
+        out = np.array(triples, copy=True)
+        out[:, 1] = [self.mapping[int(r)] for r in out[:, 1]]
+        return out
+
+
 class AdjacencyIndex:
     """CSR-style adjacency over undirected incidence, equivalent to the
     driver's ``adj_list``/``degrees`` build (``train.py:133-139``): for each
