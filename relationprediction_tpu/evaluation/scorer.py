@@ -165,6 +165,8 @@ class Scorer:
         self.params = params
         if graph is not None:
             self.graph = graph
+        if hasattr(self.model, "invalidate"):
+            self.model.invalidate()  # drop cached encoded codes
 
     def compute_scores(self, triples: np.ndarray, verbose: bool = False):
         if self.metric == "Accuracy":

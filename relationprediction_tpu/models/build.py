@@ -12,6 +12,7 @@ training graph).
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -209,9 +210,14 @@ class RGCNModel:
         static across resampled subgraphs.
         """
         from ..graph import build_graph_batch
+        bucket = self.preferred_bucket_size
+        # The stored variant indexes message caches by batch edge id, so
+        # its graphs must preserve the input edge order.
+        sort_directions = not (self.has_state or bucket)
         return build_graph_batch(
             triples, self.n_entities, self.n_relations, pad_to=pad_to,
-            bucket_size=self.preferred_bucket_size, shard_align=shard_align)
+            bucket_size=bucket, shard_align=shard_align,
+            sort_directions=sort_directions)
 
     def graph_pad_bound(self, n_edges: int) -> int:
         """A fixed pad size that accommodates any n_edges-edge subgraph in
@@ -375,36 +381,75 @@ class JittedModelView:
     """Jit-compiled scoring view over an RGCNModel.
 
     The reference lazily builds three dedicated prediction graphs and reuses
-    them per session.run (``model.py:46-81``); this is the XLA equivalent —
-    one compiled executable per scoring entry point, shared across chunks.
+    them per session.run (``model.py:46-81``) — but re-encodes the FULL
+    training graph for every 1000-triple chunk. Here the test-mode entity
+    codes are computed once per (params, graph) pair and chunk scoring is
+    just the decoder GEMM; one compiled executable per entry point.
     Presents the same (params, graph, triples) surface as RGCNModel so it
     can be handed directly to evaluation.Scorer.
     """
 
     def __init__(self, model: "RGCNModel"):
         self.model = model
-        self._subj = jax.jit(lambda p, g, t: model.score_all_subjects(
-            p, g, t, apply_sigmoid=False))
-        self._obj = jax.jit(lambda p, g, t: model.score_all_objects(
-            p, g, t, apply_sigmoid=False))
-        self._subj_sig = jax.jit(lambda p, g, t: model.score_all_subjects(
-            p, g, t, apply_sigmoid=True))
-        self._obj_sig = jax.jit(lambda p, g, t: model.score_all_objects(
-            p, g, t, apply_sigmoid=True))
-        self._score = jax.jit(lambda p, g, t: model.score(p, g, t))
+        dec = model.decoder
+
+        self._encode = jax.jit(
+            lambda p, g: model.encode(p, g, deterministic=True))
+
+        def gather(enc, t):
+            return (enc.entity_codes[t[:, 0]], enc.relation_codes[t[:, 1]],
+                    enc.entity_codes[t[:, 2]])
+
+        def subj(p, enc, t, sig):
+            _, r, e2 = gather(enc, t)
+            en = dec.all_subject_energies(p["decoder"], enc.entity_codes,
+                                          r, e2)
+            return jax.nn.sigmoid(en) if sig else en
+
+        def obj(p, enc, t, sig):
+            e1, r, _ = gather(enc, t)
+            en = dec.all_object_energies(p["decoder"], enc.entity_codes,
+                                         e1, r)
+            return jax.nn.sigmoid(en) if sig else en
+
+        def score(p, enc, t):
+            e1, r, e2 = gather(enc, t)
+            return jax.nn.sigmoid(dec.energies(p["decoder"], e1, r, e2))
+
+        self._subj = jax.jit(functools.partial(subj, sig=False))
+        self._subj_sig = jax.jit(functools.partial(subj, sig=True))
+        self._obj = jax.jit(functools.partial(obj, sig=False))
+        self._obj_sig = jax.jit(functools.partial(obj, sig=True))
+        self._score = jax.jit(score)
+        self._enc_key = None
+        self._enc_val = None
+
+    def invalidate(self) -> None:
+        self._enc_key = None
+        self._enc_val = None
+
+    def _encoded(self, params, graph):
+        key = (id(params), id(graph))
+        if self._enc_key != key:
+            self._enc_val = self._encode(params, graph)
+            self._enc_key = key
+        return self._enc_val
 
     def score_all_subjects(self, params, graph, triples,
                            apply_sigmoid: bool = True):
         fn = self._subj_sig if apply_sigmoid else self._subj
-        return fn(params, graph, jnp.asarray(triples))
+        return fn(params, self._encoded(params, graph),
+                  jnp.asarray(triples))
 
     def score_all_objects(self, params, graph, triples,
                           apply_sigmoid: bool = True):
         fn = self._obj_sig if apply_sigmoid else self._obj
-        return fn(params, graph, jnp.asarray(triples))
+        return fn(params, self._encoded(params, graph),
+                  jnp.asarray(triples))
 
     def score(self, params, graph, triples):
-        return self._score(params, graph, jnp.asarray(triples))
+        return self._score(params, self._encoded(params, graph),
+                           jnp.asarray(triples))
 
 
 def build_model(config: RunConfig) -> RGCNModel:

@@ -240,20 +240,36 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
     """
     if features is not None:
         features = jnp.asarray(features)
+    # The two directions may carry independently-ordered edge copies so
+    # each scatter sees sorted target indices (graph.py layout notes).
+    b_senders = graph.b_senders if graph.b_senders is not None \
+        else graph.senders
+    b_relations = graph.b_relations if graph.b_relations is not None \
+        else graph.relations
+    b_receivers = graph.b_receivers if graph.b_receivers is not None \
+        else graph.receivers
+
     fwd = _edge_messages(params, variant, features, graph.senders,
                          graph.relations, "forward", n_bases, graph)
-    bwd = _edge_messages(params, variant, features, graph.receivers,
-                         graph.relations, "backward", n_bases, graph)
+    bwd = _edge_messages(params, variant, features, b_receivers,
+                         b_relations, "backward", n_bases, graph)
 
     norm = "none" if variant == "basis_stored" else "global"
     w_f = graph_lib.degree_normalization(graph, "forward", norm)
-    w_b = graph_lib.degree_normalization(graph, "backward", norm)
+    if norm == "none":
+        w_b = graph.b_mask if graph.b_mask is not None else graph.mask
+    elif graph.b_norm is not None:
+        w_b = graph.b_norm
+    else:
+        w_b = graph_lib.degree_normalization(graph, "backward", norm)
     if axis_name is not None and graph.fwd_norm is None and norm == "global":
         raise ValueError("edge-sharded execution requires host-precomputed "
                          "normalization weights in the GraphBatch")
 
-    collected_f = graph_lib.aggregate(fwd, w_f, graph.receivers, n_vertices)
-    collected_b = graph_lib.aggregate(bwd, w_b, graph.senders, n_vertices)
+    collected_f = graph_lib.aggregate(fwd, w_f, graph.receivers, n_vertices,
+                                      indices_are_sorted=graph.fwd_sorted)
+    collected_b = graph_lib.aggregate(bwd, w_b, b_senders, n_vertices,
+                                      indices_are_sorted=graph.bwd_sorted)
     combined = collected_f + collected_b
     if axis_name is not None:
         combined = jax.lax.psum(combined, axis_name)

@@ -48,23 +48,14 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (EDGE_AXIS,))
 
 
-def shard_graph_spec() -> GraphBatch:
-    """PartitionSpec pytree for a GraphBatch: every per-edge array sharded
-    on its leading axis."""
-    e = P(EDGE_AXIS)
-    return GraphBatch(senders=e, relations=e, receivers=e, mask=e,
-                      fwd_norm=e, bwd_norm=e, n_vertices=0, n_relations=0)
-
-
 def _graph_specs(graph: Optional[GraphBatch]):
+    """PartitionSpec pytree for a GraphBatch: every per-edge (and
+    per-bucket) array sharded on its leading axis."""
     if graph is None:
         return None
-    e = P(EDGE_AXIS)
-    return GraphBatch(
-        senders=e, relations=e, receivers=e, mask=e,
-        fwd_norm=None if graph.fwd_norm is None else e,
-        bwd_norm=None if graph.bwd_norm is None else e,
-        n_vertices=graph.n_vertices, n_relations=graph.n_relations)
+    leaves, treedef = jax.tree_util.tree_flatten(graph)
+    return jax.tree_util.tree_unflatten(treedef,
+                                        [P(EDGE_AXIS)] * len(leaves))
 
 
 def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
@@ -115,13 +106,8 @@ def shard_batch(mesh: Mesh, graph: Optional[GraphBatch], triples, labels,
     data_sharding = NamedSharding(mesh, P(EDGE_AXIS))
     rep_graph = None
     if graph is not None:
-        def put(x):
-            return None if x is None else jax.device_put(x, data_sharding)
-        rep_graph = GraphBatch(
-            senders=put(graph.senders), relations=put(graph.relations),
-            receivers=put(graph.receivers), mask=put(graph.mask),
-            fwd_norm=put(graph.fwd_norm), bwd_norm=put(graph.bwd_norm),
-            n_vertices=graph.n_vertices, n_relations=graph.n_relations)
+        rep_graph = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data_sharding), graph)
     return (rep_graph,
             jax.device_put(triples, data_sharding),
             jax.device_put(labels, data_sharding),
@@ -129,7 +115,13 @@ def shard_batch(mesh: Mesh, graph: Optional[GraphBatch], triples, labels,
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully-replicated placement of a parameter/optimizer pytree."""
+    """Fully-replicated placement of a parameter/optimizer pytree.
+
+    Copies through host numpy so the result NEVER aliases the input: when
+    the requested sharding matches an array's current placement,
+    jax.device_put returns the same buffer, and donating that buffer to a
+    train step would silently delete the caller's copy.
+    """
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+        lambda x: jax.device_put(np.asarray(x), sharding), tree)
