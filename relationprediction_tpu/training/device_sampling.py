@@ -1,0 +1,45 @@
+"""On-device negative sampling.
+
+Moves the reference's host-side corruption loop (``auxilliaries.py:13-33``)
+inside the jitted train step: the host ships only the positive edge batch
+(~30k triples) instead of the (rate+1)-times-tiled 330k-triple array, and
+the tile + coin-flip + uniform-entity corruption runs on the TPU's PRNG.
+Distribution is identical to the host sampler; the random stream is the
+device PRNG's.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def device_negative_sample(positives: jax.Array, pos_mask: jax.Array,
+                           rate: int, n_entities: int, key: jax.Array
+                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """positives: [n, 3] int32 (padded rows allowed, pos_mask 0 there).
+
+    Returns (triples [(rate+1)n, 3], labels, mask) matching
+    NegativeSampler.transform's layout: first copy positive, negatives
+    corrupt subject or object with a fair coin and a uniform entity.
+    """
+    n = positives.shape[0]
+    n_neg = n * rate
+    k_coin, k_val = jax.random.split(key)
+
+    tiled = jnp.tile(positives, (rate + 1, 1))
+    neg = tiled[n:]
+    corrupt_object = jax.random.bernoulli(k_coin, 0.5, (n_neg,))
+    values = jax.random.randint(k_val, (n_neg,), 0, n_entities,
+                                dtype=positives.dtype)
+
+    s = jnp.where(corrupt_object, neg[:, 0], values)
+    o = jnp.where(corrupt_object, values, neg[:, 2])
+    neg = jnp.stack([s, neg[:, 1], o], axis=1)
+
+    triples = jnp.concatenate([tiled[:n], neg], axis=0)
+    labels = jnp.concatenate([pos_mask,
+                              jnp.zeros((n_neg,), jnp.float32)], axis=0)
+    mask = jnp.tile(pos_mask, rate + 1)
+    return triples, labels, mask

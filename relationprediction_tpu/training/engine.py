@@ -41,6 +41,7 @@ from ..models.build import RGCNModel
 from ..sampling import (AdjacencyIndex, NegativeSampler, graph_split,
                         sample_edge_neighborhood_fast, sample_uniform_edges)
 from . import checkpoint as ckpt_lib
+from .device_sampling import device_negative_sample
 from .optimizers import build_optimizer
 
 
@@ -65,12 +66,16 @@ class BatchPipeline:
 
     def __init__(self, model: RGCNModel, config: RunConfig,
                  dataset: KGDataset, rng: np.random.Generator,
-                 sampler: str = "neighborhood"):
+                 sampler: str = "neighborhood",
+                 device_negatives: bool = False):
         self.model = model
         self.config = config
         self.train = np.asarray(dataset.train, dtype=np.int32)
         self.rng = rng
         self.sampler = sampler
+        # device_negatives: emit only the positive batch (padded) and let
+        # the jitted step corrupt on device (training/device_sampling.py).
+        self.device_negatives = device_negatives and not model.has_state
         t = config.training
         self.ns = NegativeSampler(t.negative_sample_rate, config.entity_count,
                                   rng)
@@ -114,6 +119,8 @@ class BatchPipeline:
                                    len(self.train), dtype=np.int32)
                 edge_ids[:len(split_ids)] = split_ids
                 edge_ids = jnp.asarray(edge_ids)
+            if self.device_negatives:
+                return self._positives_batch(graph, graph_batch, edge_ids)
             x, y = self.ns.transform(graph_batch)
         else:
             graph = None
@@ -124,6 +131,8 @@ class BatchPipeline:
                 batch = self.train[idx]
             else:
                 batch = self.train
+            if self.device_negatives:
+                return self._positives_batch(None, batch, None)
             x, y = self.ns.transform(batch)
 
         n = len(x)
@@ -134,6 +143,21 @@ class BatchPipeline:
         yp[:n] = y
         mp[:n] = 1.0
         return TrainBatch(graph, jnp.asarray(xp), jnp.asarray(yp),
+                          jnp.asarray(mp), edge_ids=edge_ids)
+
+    def _positives_batch(self, graph, positives, edge_ids) -> TrainBatch:
+        """positives-only batch for device-side negative sampling: triples
+        holds the padded positive edges, labels is unused, mask marks real
+        positives."""
+        cap = (self.graph_batch_size if self.model.needs_graph()
+               else self.batch_size)
+        n = len(positives)
+        xp = np.zeros((cap, 3), dtype=np.int32)
+        mp = np.zeros((cap,), dtype=np.float32)
+        xp[:n] = positives
+        mp[:n] = 1.0
+        return TrainBatch(graph, jnp.asarray(xp),
+                          jnp.zeros((cap,), jnp.float32),
                           jnp.asarray(mp), edge_ids=edge_ids)
 
 
@@ -196,7 +220,8 @@ class TrainLoop:
                  seed: int = 0,
                  log: Callable[[str], None] = print,
                  prefetch: bool = True,
-                 metrics_path: Optional[str] = None):
+                 metrics_path: Optional[str] = None,
+                 device_negatives: bool = True):
         self.model = model
         self.config = config
         self.dataset = dataset
@@ -207,11 +232,21 @@ class TrainLoop:
         self.metrics = MetricLogger(metrics_path, echo=False)
         self.timer = StepTimer()
         self.pipeline = BatchPipeline(model, config, dataset, self.host_rng,
-                                      sampler)
+                                      sampler,
+                                      device_negatives=device_negatives)
         self.optimizer = build_optimizer(config.optimizer)
         self.rng_key = jax.random.PRNGKey(seed)
 
+        rate = config.training.negative_sample_rate
+        n_entities = config.entity_count
+
         def train_step(params, opt_state, graph, triples, labels, mask, rng):
+            if self.pipeline.device_negatives:
+                # triples/mask carry padded positives; corrupt on device.
+                triples, labels, mask = device_negative_sample(
+                    triples, mask, rate, n_entities,
+                    jax.random.fold_in(rng, 777))
+
             def loss_fn(p):
                 return model.loss(p, graph, triples, labels, mask, rng=rng,
                                   deterministic=False)
@@ -271,6 +306,30 @@ class TrainLoop:
         loss = float("nan")
         i = start_iteration
 
+        # Losses are fetched lazily: each step leaves its device scalar in
+        # ``pending`` and the host syncs only at reporting/stopping/saving
+        # boundaries (each host<->device sync costs ~tens of ms of
+        # transport in tunneled environments).
+        pending = []
+
+        def process_pending():
+            nonlocal cumulative_loss, loss
+            for it_, loss_dev in pending:
+                v = float(loss_dev)
+                loss = v
+                cumulative_loss += v
+                if it_ == 1:
+                    cumulative_loss = 0.0
+                    self.log(f"Initial loss: {v}")
+                elif report_every and it_ % report_every == 1:
+                    avg = cumulative_loss / float(report_every)
+                    cumulative_loss = 0.0
+                    self.log(f"Average train loss for iteration "
+                             f"{it_ - report_every}-{it_ - 1}: {avg}")
+                    self.metrics.log("train_loss", iteration=it_ - 1,
+                                     loss=avg, **self.timer.summary())
+            pending.clear()
+
         try:
             while True:
                 if max_iter is not None and i >= max_iter:
@@ -295,25 +354,17 @@ class TrainLoop:
                     params, opt_state, loss_dev = self._train_step(
                         params, opt_state, batch.graph, batch.triples,
                         batch.labels, batch.mask, step_key)
-                loss = float(loss_dev)
                 timer_ctx.__exit__(None, None, None)
 
-                # TrainLossReporter (shared/algorithms.py:82-116)
-                cumulative_loss += loss
-                if i == 1:
-                    cumulative_loss = 0.0
-                    self.log(f"Initial loss: {loss}")
-                elif report_every and i % report_every == 1:
-                    avg = cumulative_loss / float(report_every)
-                    cumulative_loss = 0.0
-                    self.log(f"Average train loss for iteration "
-                             f"{i - report_every}-{i - 1}: {avg}")
-                    self.metrics.log("train_loss", iteration=i - 1,
-                                     loss=avg, **self.timer.summary())
+                # TrainLossReporter (shared/algorithms.py:82-116), deferred:
+                pending.append((i, loss_dev))
+                if i == 1 or (report_every and i % report_every == 1):
+                    process_pending()
 
                 # EarlyStopper (shared/algorithms.py:119-161)
                 if self.scoring_function is not None and check_every \
                         and i % check_every == 0:
+                    process_pending()
                     score = self.scoring_function(params)
                     self.log(f"Tested validation score at iteration {i}. "
                              f"Result: {score}")
@@ -332,6 +383,7 @@ class TrainLoop:
                 # ModelSaver (shared/algorithms.py:61-79); skipped when the
                 # stopper fired, matching the decorator order.
                 if checkpoint_path and save_every and i % save_every == 0:
+                    process_pending()
                     ckpt_lib.save(checkpoint_path, params=params,
                                   opt_state=opt_state, step=i,
                                   rng_key=self.rng_key,
@@ -340,6 +392,7 @@ class TrainLoop:
         finally:
             if isinstance(source, _Prefetcher):
                 source.close()
+        process_pending()
 
         return FitResult(params=params, opt_state=opt_state, iterations=i,
                          stopped_early=stopped, last_loss=loss,

@@ -122,10 +122,20 @@ def test_minibatches_component(toy_dataset):
     opt = dataclasses.replace(cfg.optimizer, batch_size=16)
     cfg = dataclasses.replace(cfg, optimizer=opt)
     model = build_model(cfg)
+    # Host-negatives mode: the full tiled batch leaves the pipeline.
     loop = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
-                     prefetch=False)
+                     prefetch=False, device_negatives=False)
     assert loop.pipeline.batch_size == 16
     batch = loop.pipeline.next()
     assert float(np.asarray(batch.mask).sum()) == 16 * 11
     result = loop.fit(max_iterations=5)
     assert np.isfinite(result.last_loss)
+
+    # Device-negatives mode: only the positives leave the pipeline.
+    loop2 = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                      prefetch=False, device_negatives=True)
+    batch2 = loop2.pipeline.next()
+    assert batch2.triples.shape[0] == 16
+    assert float(np.asarray(batch2.mask).sum()) == 16
+    result2 = loop2.fit(max_iterations=5)
+    assert np.isfinite(result2.last_loss)

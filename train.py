@@ -59,7 +59,11 @@ def main() -> None:
     cfg = config_lib.load(args.settings)
 
     if args.dataset.startswith("synth:"):
-        ds = synthetic.like(args.dataset.split(":", 1)[1], seed=args.seed)
+        profile = args.dataset.split(":", 1)[1]
+        if profile not in synthetic.PROFILES:
+            parser.error(f"unknown synthetic profile {profile!r}; choose "
+                         f"from {sorted(synthetic.PROFILES)}")
+        ds = synthetic.like(profile, seed=args.seed)
     else:
         ds = dataset_lib.load(args.dataset, metric=cfg.training.metric)
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
