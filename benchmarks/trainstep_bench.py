@@ -24,6 +24,7 @@ def main():
     from relationprediction_tpu.training import BatchPipeline, TrainLoop
 
     exp = sys.argv[1] if len(sys.argv) > 1 else "gcn_block"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "binomial"
     ds = synthetic.like("FB15k-237", seed=0)
     cfg = config_lib.load(os.path.join(os.path.dirname(__file__), "..",
                                        "settings", f"{exp}.exp"))
@@ -31,7 +32,7 @@ def main():
     model = build_model(cfg)
 
     loop = TrainLoop(model, cfg, ds, seed=0, log=lambda s: None,
-                     prefetch=True)
+                     prefetch=True, negative_mode=mode)
     params, opt_state = loop.init_state()
 
     # Warm up (compile) with 2 iterations.

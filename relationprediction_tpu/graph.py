@@ -107,7 +107,8 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
                       normalization: str = "global",
                       bucket_size: Optional[int] = None,
                       shard_align: int = 8,
-                      sort_directions: Optional[bool] = None) -> GraphBatch:
+                      sort_directions: Optional[bool] = None,
+                      to_device: bool = True) -> GraphBatch:
     """Host-side construction of a GraphBatch from an [N, 3] (s, r, o) array.
 
     ``pad_to`` fixes the edge-array length so that repeated calls with
@@ -131,7 +132,8 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
             raise ValueError("sort_directions is incompatible with "
                              "relation bucketing")
         return _build_bucketed(triples, n_vertices, n_relations, pad_to,
-                               normalization, bucket_size, shard_align)
+                               normalization, bucket_size, shard_align,
+                               to_device)
     if sort_directions is None:
         sort_directions = False  # explicit opt-in (RGCNModel.make_graph)
 
@@ -162,6 +164,7 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
         bwd = _host_norm(senders, relations, mask, n_vertices, n_relations,
                          normalization)
 
+    dev = jnp.asarray if to_device else (lambda x: x)
     b_arrays = {}
     bwd_sorted = False
     if sort_directions:
@@ -172,18 +175,18 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
             bnorm = _host_norm(bs, br, bm, n_vertices, n_relations,
                                normalization)
         b_arrays = dict(
-            b_senders=jnp.asarray(bs), b_relations=jnp.asarray(br),
-            b_receivers=jnp.asarray(brc), b_mask=jnp.asarray(bm),
-            b_norm=None if bnorm is None else jnp.asarray(bnorm))
+            b_senders=dev(bs), b_relations=dev(br),
+            b_receivers=dev(brc), b_mask=dev(bm),
+            b_norm=None if bnorm is None else dev(bnorm))
         bwd_sorted = True
 
     return GraphBatch(
-        senders=jnp.asarray(senders),
-        relations=jnp.asarray(relations),
-        receivers=jnp.asarray(receivers),
-        mask=jnp.asarray(mask),
-        fwd_norm=None if fwd is None else jnp.asarray(fwd),
-        bwd_norm=None if bwd is None else jnp.asarray(bwd),
+        senders=dev(senders),
+        relations=dev(relations),
+        receivers=dev(receivers),
+        mask=dev(mask),
+        fwd_norm=None if fwd is None else dev(fwd),
+        bwd_norm=None if bwd is None else dev(bwd),
         n_vertices=int(n_vertices),
         n_relations=int(n_relations),
         fwd_sorted=bool(sort_directions),
@@ -201,7 +204,8 @@ def bucketed_size(counts: np.ndarray, bucket_size: int) -> int:
 
 def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
                     pad_to: Optional[int], normalization: Optional[str],
-                    bucket_size: int, shard_align: int) -> GraphBatch:
+                    bucket_size: int, shard_align: int,
+                    to_device: bool = True) -> GraphBatch:
     n = triples.shape[0]
     counts = np.bincount(triples[:, 1], minlength=n_relations)
     padded_counts = -(-counts // bucket_size) * bucket_size  # 0 stays 0
@@ -251,16 +255,17 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
         bwd = _host_norm(senders, relations, mask, n_vertices, n_relations,
                          normalization)
 
+    dev = jnp.asarray if to_device else (lambda x: x)
     return GraphBatch(
-        senders=jnp.asarray(senders),
-        relations=jnp.asarray(relations),
-        receivers=jnp.asarray(receivers),
-        mask=jnp.asarray(mask),
-        fwd_norm=None if fwd is None else jnp.asarray(fwd),
-        bwd_norm=None if bwd is None else jnp.asarray(bwd),
+        senders=dev(senders),
+        relations=dev(relations),
+        receivers=dev(receivers),
+        mask=dev(mask),
+        fwd_norm=None if fwd is None else dev(fwd),
+        bwd_norm=None if bwd is None else dev(bwd),
         n_vertices=int(n_vertices),
         n_relations=int(n_relations),
-        bucket_rel=jnp.asarray(bucket_rel),
+        bucket_rel=dev(bucket_rel),
         bucket_size=int(bucket_size),
     )
 

@@ -202,7 +202,8 @@ class RGCNModel:
         return None
 
     def make_graph(self, triples, pad_to: Optional[int] = None,
-                   shard_align: int = 8) -> GraphBatch:
+                   shard_align: int = 8, to_device: bool = True
+                   ) -> GraphBatch:
         """Build a GraphBatch in this model's preferred layout.
 
         For bucketed layouts, pass the same ``pad_to`` upper bound every
@@ -217,7 +218,7 @@ class RGCNModel:
         return build_graph_batch(
             triples, self.n_entities, self.n_relations, pad_to=pad_to,
             bucket_size=bucket, shard_align=shard_align,
-            sort_directions=sort_directions)
+            sort_directions=sort_directions, to_device=to_device)
 
     def graph_pad_bound(self, n_edges: int) -> int:
         """A fixed pad size that accommodates any n_edges-edge subgraph in
@@ -343,6 +344,88 @@ class RGCNModel:
                                              axis_name)
         loss = loss + self.decoder.regularization(params["decoder"], e1, r,
                                                   e2, mask, axis_name)
+        if self.variational and encoded.mu is not None:
+            loss = loss + enc.variational_kl_penalty(encoded.mu,
+                                                     encoded.log_sigma)
+        return loss
+
+    def loss_structured(self, params: Dict, graph: Optional[GraphBatch],
+                        positives: jax.Array, pos_mask: jax.Array,
+                        neg_subjects: jax.Array, neg_objects: jax.Array, *,
+                        rng: Optional[jax.Array] = None,
+                        deterministic: bool = False,
+                        axis_name: Optional[str] = None) -> jax.Array:
+        """Structured-negatives training loss (fast path).
+
+        Mathematically the same objective as ``loss`` on the tiled batch
+        [positives; subject-corruptions; object-corruptions], but exploits
+        that every corruption of a positive shares two of its three codes:
+        only ONE factor per positive is gathered (decoder.subject_factor /
+        object_factor) plus one code per corrupted entity — ~2.5x fewer
+        gathered rows than materializing the (rate+1)-tiled batch, and the
+        same factor reuse on the backward scatters.
+
+        positives: [n, 3]; pos_mask: [n]; neg_subjects/neg_objects:
+        [n, k] corrupted-entity ids (k = rate - rate//2 / rate//2).
+        Requires a factorizable decoder (DistMult / ComplEx).
+        """
+        if not getattr(self.decoder, "factorizable", False):
+            raise ValueError(f"decoder {self.decoder.name} does not support "
+                             "the structured-negatives loss")
+        encoded = self.encode(params, graph, deterministic=deterministic,
+                              rng=rng, axis_name=axis_name)
+        e1, r, e2 = self.gather_codes(encoded, positives)
+        dp = params["decoder"]
+        codes = encoded.entity_codes
+
+        pos_energy = self.decoder.energies(dp, e1, r, e2)          # [n]
+        q_subj = self.decoder.subject_factor(dp, r, e2)            # [n, d]
+        q_obj = self.decoder.object_factor(dp, e1, r)              # [n, d]
+
+        k_s = neg_subjects.shape[1]
+        k_o = neg_objects.shape[1]
+        e1n = codes[neg_subjects]                                  # [n,ks,d]
+        e2n = codes[neg_objects]                                   # [n,ko,d]
+        subj_energy = self.decoder.factored_energy(
+            dp, e1n, q_subj[:, None, :])                           # [n,ks]
+        obj_energy = self.decoder.factored_energy(
+            dp, e2n, q_obj[:, None, :])                            # [n,ko]
+
+        # CE: positives labeled by pos_mask; all corruptions labeled 0.
+        ce = decoders_lib.weighted_ce_loss
+        n = positives.shape[0]
+        energies = jnp.concatenate(
+            [pos_energy, subj_energy.reshape(-1), obj_energy.reshape(-1)])
+        labels = jnp.concatenate(
+            [pos_mask, jnp.zeros((n * (k_s + k_o),), jnp.float32)])
+        mask = jnp.concatenate(
+            [pos_mask, jnp.tile(pos_mask, k_s), jnp.tile(pos_mask, k_o)])
+        loss = ce(energies, labels, mask, axis_name)
+
+        # Regularization over the equivalent tiled batch: each positive's
+        # e1 appears (1 + k_o) times (positive + object corruptions), e2
+        # (1 + k_s) times, r every row; corrupted codes once each.
+        rows = 1 + k_s + k_o
+        d = e1.shape[-1]
+        m = pos_mask
+        count = jnp.maximum(jnp.sum(m), 1.0) * rows * d
+
+        def msum(x, w):
+            return jnp.sum(jnp.sum(x ** 2, axis=-1) * w)
+
+        e1_sq = (msum(e1, m) * (1 + k_o)
+                 + jnp.sum(jnp.sum(e1n ** 2, -1) * m[:, None]))
+        e2_sq = (msum(e2, m) * (1 + k_s)
+                 + jnp.sum(jnp.sum(e2n ** 2, -1) * m[:, None]))
+        r_sq = msum(r, m) * rows
+        if axis_name is not None:
+            e1_sq = jax.lax.psum(e1_sq, axis_name)
+            e2_sq = jax.lax.psum(e2_sq, axis_name)
+            r_sq = jax.lax.psum(r_sq, axis_name)
+            count = jax.lax.psum(count, axis_name)
+        reg = (e1_sq + e2_sq + r_sq) / count
+        loss = loss + self.decoder.regularization_parameter * reg
+
         if self.variational and encoded.mu is not None:
             loss = loss + enc.variational_kl_penalty(encoded.mu,
                                                      encoded.log_sigma)

@@ -69,6 +69,24 @@ class BilinearDiag:
     def all_object_energies(self, params, all_codes, e1, r):
         return sddmm.distmult_all_objects(all_codes, e1, r)
 
+    # -- factorized scoring (structured negatives fast path) ----------------
+    # DistMult energies are linear in each entity code given the other two
+    # factors: energy(e1) = e1 . (r * e2), energy(e2) = (e1 * r) . e2.
+    # The factors are shared by every corruption of the same positive, so
+    # the negative-sampling loss can gather ONE factor per positive instead
+    # of re-gathering (e1, r, e2) for every tiled negative.
+    factorizable = True
+
+    def subject_factor(self, params, r, e2):
+        """q with energy(candidate_subject e) = e . q."""
+        return r * e2
+
+    def object_factor(self, params, e1, r):
+        return e1 * r
+
+    def factored_energy(self, params, entity_codes, factor):
+        return jnp.sum(entity_codes * factor, axis=-1)
+
     def regularization(self, params, e1, r, e2, mask=None,
                        axis_name=None):
         """reg_param * (mean e1^2 + mean r^2 + mean e2^2) over the batch
@@ -88,6 +106,23 @@ class Complex(BilinearDiag):
     def energies(self, params, e1, r, e2):
         return sddmm.complex_energies(e1, r, e2)
 
+    # ComplEx is also bilinear: energy(e1) = e1 . q with
+    # q = [rr*e2r + ri*e2i | rr*e2i - ri*e2r] and
+    # energy(e2) = q' . e2 with q' = [e1r*rr - e1i*ri | e1i*rr + e1r*ri].
+    def subject_factor(self, params, r, e2):
+        d = r.shape[-1] // 2
+        rr, ri = r[..., :d], r[..., d:]
+        e2r, e2i = e2[..., :d], e2[..., d:]
+        return jnp.concatenate([rr * e2r + ri * e2i,
+                                rr * e2i - ri * e2r], axis=-1)
+
+    def object_factor(self, params, e1, r):
+        d = r.shape[-1] // 2
+        rr, ri = r[..., :d], r[..., d:]
+        e1r, e1i = e1[..., :d], e1[..., d:]
+        return jnp.concatenate([e1r * rr - e1i * ri,
+                                e1i * rr + e1r * ri], axis=-1)
+
     def all_subject_energies(self, params, all_codes, r, e2):
         return sddmm.complex_all_subjects(all_codes, r, e2)
 
@@ -105,6 +140,7 @@ class NonlinearTransform:
     """
 
     name = "nonlinear-transform"
+    factorizable = False  # MLP energies are not bilinear in the codes
 
     def __init__(self, dimension: int, embedding_width: int,
                  regularization_parameter: float):

@@ -19,11 +19,9 @@ Collectives ride ICI via XLA; there is no host-mediated communication.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -43,3 +43,23 @@ def device_negative_sample(positives: jax.Array, pos_mask: jax.Array,
                               jnp.zeros((n_neg,), jnp.float32)], axis=0)
     mask = jnp.tile(pos_mask, rate + 1)
     return triples, labels, mask
+
+
+def device_negative_entities_split(positives: jax.Array, rate: int,
+                                   n_entities: int, key: jax.Array):
+    """Split-protocol corruption for the structured (factorized) loss:
+    rate//2 uniform subject corruptions and rate - rate//2 object
+    corruptions per positive (deterministic halves instead of the
+    reference's per-slot coin flip; same marginal objective).
+
+    Returns (neg_subjects [n, ks], neg_objects [n, ko]) entity ids.
+    """
+    n = positives.shape[0]
+    k_s = rate // 2
+    k_o = rate - k_s
+    ks_key, ko_key = jax.random.split(key)
+    neg_subjects = jax.random.randint(ks_key, (n, k_s), 0, n_entities,
+                                      dtype=positives.dtype)
+    neg_objects = jax.random.randint(ko_key, (n, k_o), 0, n_entities,
+                                     dtype=positives.dtype)
+    return neg_subjects, neg_objects

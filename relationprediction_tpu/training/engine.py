@@ -36,17 +36,28 @@ import numpy as np
 from ..config import RunConfig
 from ..observability import MetricLogger, StepTimer
 from ..data.dataset import KGDataset
-from ..graph import GraphBatch, build_graph_batch
+from ..graph import GraphBatch
 from ..models.build import RGCNModel
 from ..sampling import (AdjacencyIndex, NegativeSampler, graph_split,
                         sample_edge_neighborhood_fast, sample_uniform_edges)
 from . import checkpoint as ckpt_lib
-from .device_sampling import device_negative_sample
+from .device_sampling import (device_negative_entities_split,
+                              device_negative_sample)
 from .optimizers import build_optimizer
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _next_boundary(i: int, every: Optional[int], offset: int = 0):
+    """Smallest j > i with j % every == offset (None if no cadence)."""
+    if not every:
+        return None
+    j = (i - offset) // every * every + offset
+    while j <= i:
+        j += every
+    return j
 
 
 class TrainBatch(NamedTuple):
@@ -111,14 +122,14 @@ class BatchPipeline:
             split_ids = graph_split(batch_ids, cfg.training.graph_split_size,
                                     self.rng)
             graph = self.model.make_graph(self.train[split_ids],
-                                          pad_to=self.graph_pad)
+                                          pad_to=self.graph_pad,
+                                          to_device=False)
             if self.model.has_state:
                 # Stored variant: keep the split's global edge ids, padded
                 # to the graph's static edge count with the phantom row.
                 edge_ids = np.full((graph.n_padded_edges,),
                                    len(self.train), dtype=np.int32)
                 edge_ids[:len(split_ids)] = split_ids
-                edge_ids = jnp.asarray(edge_ids)
             if self.device_negatives:
                 return self._positives_batch(graph, graph_batch, edge_ids)
             x, y = self.ns.transform(graph_batch)
@@ -142,8 +153,7 @@ class BatchPipeline:
         xp[:n] = x
         yp[:n] = y
         mp[:n] = 1.0
-        return TrainBatch(graph, jnp.asarray(xp), jnp.asarray(yp),
-                          jnp.asarray(mp), edge_ids=edge_ids)
+        return TrainBatch(graph, xp, yp, mp, edge_ids=edge_ids)
 
     def _positives_batch(self, graph, positives, edge_ids) -> TrainBatch:
         """positives-only batch for device-side negative sampling: triples
@@ -156,28 +166,32 @@ class BatchPipeline:
         mp = np.zeros((cap,), dtype=np.float32)
         xp[:n] = positives
         mp[:n] = 1.0
-        return TrainBatch(graph, jnp.asarray(xp),
-                          jnp.zeros((cap,), jnp.float32),
-                          jnp.asarray(mp), edge_ids=edge_ids)
+        return TrainBatch(graph, xp, np.zeros((cap,), np.float32), mp,
+                          edge_ids=edge_ids)
 
 
 class _Prefetcher:
-    """Background-thread batch producer so host-side sampling overlaps with
-    device steps (the reference's host loop runs serially with the device,
-    SURVEY.md §3.3)."""
+    """Background-thread batch producer(s) so host-side sampling overlaps
+    with device steps (the reference's host loop runs serially with the
+    device, SURVEY.md §3.3). With n_threads > 1 each worker drives its own
+    pipeline (independent RNG streams derived from the shared generator)."""
 
-    def __init__(self, pipeline: BatchPipeline, depth: int = 2):
-        self.pipeline = pipeline
+    def __init__(self, pipelines, depth: int = 4):
+        if not isinstance(pipelines, (list, tuple)):
+            pipelines = [pipelines]
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.stop_flag = False
         self.error: Optional[BaseException] = None
-        self.thread = threading.Thread(target=self._run, daemon=True)
-        self.thread.start()
+        self.threads = [
+            threading.Thread(target=self._run, args=(p,), daemon=True)
+            for p in pipelines]
+        for t in self.threads:
+            t.start()
 
-    def _run(self):
+    def _run(self, pipeline):
         try:
             while not self.stop_flag:
-                batch = self.pipeline.next()
+                batch = pipeline.next()
                 while not self.stop_flag:
                     try:
                         self.q.put(batch, timeout=0.5)
@@ -221,7 +235,10 @@ class TrainLoop:
                  log: Callable[[str], None] = print,
                  prefetch: bool = True,
                  metrics_path: Optional[str] = None,
-                 device_negatives: bool = True):
+                 device_negatives: bool = True,
+                 negative_mode: str = "binomial",
+                 steps_per_dispatch: int = 8,
+                 prefetch_threads: int = 2):
         self.model = model
         self.config = config
         self.dataset = dataset
@@ -234,13 +251,46 @@ class TrainLoop:
         self.pipeline = BatchPipeline(model, config, dataset, self.host_rng,
                                       sampler,
                                       device_negatives=device_negatives)
+        # Each run dispatches K steps per executable (lax.scan over stacked
+        # batches) to amortize per-dispatch transport; boundaries (reports,
+        # validation checks, saves) fall back to the single-step path.
+        self.steps_per_dispatch = 1 if model.has_state else \
+            max(1, int(steps_per_dispatch))
+        self._extra_pipelines = [
+            BatchPipeline(model, config, dataset,
+                          np.random.default_rng(seed + 1000 + w), sampler,
+                          device_negatives=device_negatives)
+            for w in range(max(0, prefetch_threads - 1))]
         self.optimizer = build_optimizer(config.optimizer)
         self.rng_key = jax.random.PRNGKey(seed)
 
         rate = config.training.negative_sample_rate
         n_entities = config.entity_count
+        # 'split' = structured/factorized negatives (fast path; requires
+        # a bilinear decoder and device negatives). 'binomial' = the
+        # reference's per-slot coin-flip protocol.
+        self.negative_mode = negative_mode
+        use_structured = (negative_mode == "split"
+                          and device_negatives and not model.has_state
+                          and getattr(model.decoder, "factorizable", False))
+        self._use_structured = use_structured
 
         def train_step(params, opt_state, graph, triples, labels, mask, rng):
+            if self._use_structured:
+                neg_s, neg_o = device_negative_entities_split(
+                    triples, rate, n_entities, jax.random.fold_in(rng, 777))
+
+                def loss_fn(p):
+                    return model.loss_structured(
+                        p, graph, triples, mask, neg_s, neg_o, rng=rng,
+                        deterministic=False)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = jax.tree_util.tree_map(lambda a, u: a + u, params,
+                                                updates)
+                return params, opt_state, loss
+
             if self.pipeline.device_negatives:
                 # triples/mask carry padded positives; corrupt on device.
                 triples, labels, mask = device_negative_sample(
@@ -258,6 +308,21 @@ class TrainLoop:
             return params, opt_state, loss
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def train_chunk(params, opt_state, batches, keys):
+            """K steps in one executable: scan over stacked batches."""
+            def body(carry, xs):
+                params, opt_state = carry
+                batch, key = xs
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch.graph, batch.triples,
+                    batch.labels, batch.mask, key)
+                return (params, opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (batches, keys))
+            return params, opt_state, losses
+
+        self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
 
         def train_step_stateful(params, opt_state, cache, graph, edge_ids,
                                 triples, labels, mask, rng):
@@ -296,8 +361,9 @@ class TrainLoop:
         save_every = cfg.save_every_n or check_every
         report_every = cfg.report_train_loss_every
 
-        source = _Prefetcher(self.pipeline) if self.prefetch \
-            else self.pipeline
+        source = _Prefetcher([self.pipeline] + self._extra_pipelines,
+                             depth=2 * self.steps_per_dispatch) \
+            if self.prefetch else self.pipeline
         started = time.time()
         cumulative_loss = 0.0
         previous_score = None
@@ -314,20 +380,23 @@ class TrainLoop:
 
         def process_pending():
             nonlocal cumulative_loss, loss
-            for it_, loss_dev in pending:
-                v = float(loss_dev)
-                loss = v
-                cumulative_loss += v
-                if it_ == 1:
-                    cumulative_loss = 0.0
-                    self.log(f"Initial loss: {v}")
-                elif report_every and it_ % report_every == 1:
-                    avg = cumulative_loss / float(report_every)
-                    cumulative_loss = 0.0
-                    self.log(f"Average train loss for iteration "
-                             f"{it_ - report_every}-{it_ - 1}: {avg}")
-                    self.metrics.log("train_loss", iteration=it_ - 1,
-                                     loss=avg, **self.timer.summary())
+            for start_it, loss_dev in pending:
+                values = np.atleast_1d(np.asarray(loss_dev))
+                for off, v in enumerate(values):
+                    it_ = start_it + off
+                    v = float(v)
+                    loss = v
+                    cumulative_loss += v
+                    if it_ == 1:
+                        cumulative_loss = 0.0
+                        self.log(f"Initial loss: {v}")
+                    elif report_every and it_ % report_every == 1:
+                        avg = cumulative_loss / float(report_every)
+                        cumulative_loss = 0.0
+                        self.log(f"Average train loss for iteration "
+                                 f"{it_ - report_every}-{it_ - 1}: {avg}")
+                        self.metrics.log("train_loss", iteration=it_ - 1,
+                                         loss=avg, **self.timer.summary())
             pending.clear()
 
         try:
@@ -337,27 +406,57 @@ class TrainLoop:
                 if max_seconds is not None and time.time() - started \
                         > max_seconds:
                     break
-                i += 1
-                batch = source.next()
-                self.rng_key, step_key = jax.random.split(self.rng_key)
+                # How many steps may run before the next host boundary
+                # (initial-loss print, report, validation check, save, cap)?
+                k = self.steps_per_dispatch
+                for boundary in (1 if i < 1 else None,
+                                 _next_boundary(i, report_every, offset=1),
+                                 (_next_boundary(i, check_every)
+                                  if self.scoring_function else None),
+                                 _next_boundary(i, save_every)
+                                 if checkpoint_path else None,
+                                 max_iter):
+                    if boundary is not None:
+                        k = min(k, boundary - i)
+                k = max(k, 1)
+
                 step_edges = getattr(self.pipeline, "split_size", 0)
                 timer_ctx = self.timer.step(
-                    edges=step_edges, triples=int(batch.mask.shape[0]))
+                    edges=step_edges * k, triples=k)
                 timer_ctx.__enter__()
                 if self.model.has_state:
+                    i += 1
+                    batch = source.next()
+                    self.rng_key, step_key = jax.random.split(self.rng_key)
                     params, opt_state, self.cache_state, loss_dev = \
                         self._train_step_stateful(
                             params, opt_state, self.cache_state,
                             batch.graph, batch.edge_ids, batch.triples,
                             batch.labels, batch.mask, step_key)
-                else:
+                    pending.append((i, loss_dev))
+                elif k == 1:
+                    i += 1
+                    batch = source.next()
+                    self.rng_key, step_key = jax.random.split(self.rng_key)
                     params, opt_state, loss_dev = self._train_step(
                         params, opt_state, batch.graph, batch.triples,
                         batch.labels, batch.mask, step_key)
+                    pending.append((i, loss_dev))
+                else:
+                    batches = [source.next() for _ in range(k)]
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *batches)
+                    keys = jax.random.split(self.rng_key, k + 1)
+                    self.rng_key = keys[0]
+                    params, opt_state, losses = self._train_chunk(
+                        params, opt_state, stacked, keys[1:])
+                    pending.append((i + 1, losses))
+                    i += k
                 timer_ctx.__exit__(None, None, None)
 
                 # TrainLossReporter (shared/algorithms.py:82-116), deferred:
-                pending.append((i, loss_dev))
+                # (chunk boundaries land on i % report_every == 1, where the
+                # reference prints the previous window's average)
                 if i == 1 or (report_every and i % report_every == 1):
                     process_pending()
 

@@ -24,7 +24,6 @@ from relationprediction_tpu import config as config_lib
 from relationprediction_tpu.data import dataset as dataset_lib
 from relationprediction_tpu.data import synthetic
 from relationprediction_tpu.evaluation import Scorer
-from relationprediction_tpu.graph import build_graph_batch
 from relationprediction_tpu.models.build import JittedModelView, build_model
 from relationprediction_tpu.training import TrainLoop
 
