@@ -35,15 +35,16 @@ def main():
                      prefetch=True, negative_mode=mode)
     params, opt_state = loop.init_state()
 
-    # Warm up (compile) with 2 iterations.
+    # Warm up: compile BOTH the single-step and the chunked executables
+    # (12 iterations crosses one full chunk boundary).
     t0 = time.perf_counter()
-    result = loop.fit(params, opt_state, max_iterations=2)
-    print(f"compile+2 iters: {time.perf_counter() - t0:.1f}s", flush=True)
+    result = loop.fit(params, opt_state, max_iterations=12)
+    print(f"compile+12 iters: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    n = 20
+    n = 40
     t0 = time.perf_counter()
     result = loop.fit(result.params, result.opt_state,
-                      start_iteration=2, max_iterations=2 + n)
+                      start_iteration=12, max_iterations=12 + n)
     dt = (time.perf_counter() - t0) / n
     edges = loop.pipeline.split_size
     triples = loop.pipeline.n_loss_triples

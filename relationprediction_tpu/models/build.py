@@ -431,6 +431,81 @@ class RGCNModel:
                                                      encoded.log_sigma)
         return loss
 
+    def loss_shared_negatives(self, params: Dict,
+                              graph: Optional[GraphBatch],
+                              positives: jax.Array, pos_mask: jax.Array,
+                              neg_pool: jax.Array, *,
+                              rng: Optional[jax.Array] = None,
+                              deterministic: bool = False,
+                              axis_name: Optional[str] = None) -> jax.Array:
+        """Shared-negative-pool loss (MXU fast path).
+
+        All positives score against ONE pool of uniformly drawn candidate
+        entities, as both corrupted subjects and corrupted objects — two
+        [n, d] x [d, P] GEMMs instead of per-positive row gathers. This is
+        the shared/negative-pool protocol standard in modern KGE systems.
+        Each positive contributes 1 positive row and 2P negative rows to
+        the flat CE mean, so the objective matches a per-positive
+        corruption batch with rate = 2P (a different negative distribution
+        and weighting than the reference's protocol — a capability/perf
+        mode, not a parity mode).
+
+        neg_pool: [P] entity ids.
+        """
+        if not getattr(self.decoder, "factorizable", False):
+            raise ValueError(f"decoder {self.decoder.name} does not support "
+                             "the shared-negatives loss")
+        encoded = self.encode(params, graph, deterministic=deterministic,
+                              rng=rng, axis_name=axis_name)
+        e1, r, e2 = self.gather_codes(encoded, positives)
+        dp = params["decoder"]
+        pool = encoded.entity_codes[neg_pool]                      # [P, d]
+
+        pos_energy = self.decoder.energies(dp, e1, r, e2)          # [n]
+        q_subj = self.decoder.subject_factor(dp, r, e2)            # [n, d]
+        q_obj = self.decoder.object_factor(dp, e1, r)              # [n, d]
+        subj_energy = jnp.dot(q_subj, pool.T,
+                              preferred_element_type=jnp.float32)  # [n, P]
+        obj_energy = jnp.dot(q_obj, pool.T,
+                             preferred_element_type=jnp.float32)   # [n, P]
+
+        ce = decoders_lib.weighted_ce_loss
+        p = neg_pool.shape[0]
+        energies = jnp.concatenate(
+            [pos_energy, subj_energy.reshape(-1), obj_energy.reshape(-1)])
+        n = positives.shape[0]
+        labels = jnp.concatenate(
+            [pos_mask, jnp.zeros((2 * n * p,), jnp.float32)])
+        mask = jnp.concatenate([pos_mask, jnp.tile(pos_mask, 2 * p)])
+        loss = ce(energies, labels, mask, axis_name)
+
+        # Regularization over the equivalent batch rows (each positive's
+        # codes appear (1 + p) / (1 + p) times; pool codes n times each).
+        rows = 1 + 2 * p
+        d = e1.shape[-1]
+        m = pos_mask
+        count = jnp.maximum(jnp.sum(m), 1.0) * rows * d
+
+        def msum(x, w):
+            return jnp.sum(jnp.sum(x ** 2, axis=-1) * w)
+
+        n_real = jnp.maximum(jnp.sum(m), 1.0)
+        e1_sq = msum(e1, m) * (1 + p) + jnp.sum(pool ** 2) * n_real
+        e2_sq = msum(e2, m) * (1 + p) + jnp.sum(pool ** 2) * n_real
+        r_sq = msum(r, m) * rows
+        if axis_name is not None:
+            e1_sq = jax.lax.psum(e1_sq, axis_name)
+            e2_sq = jax.lax.psum(e2_sq, axis_name)
+            r_sq = jax.lax.psum(r_sq, axis_name)
+            count = jax.lax.psum(count, axis_name)
+        reg = (e1_sq + e2_sq + r_sq) / count
+        loss = loss + self.decoder.regularization_parameter * reg
+
+        if self.variational and encoded.mu is not None:
+            loss = loss + enc.variational_kl_penalty(encoded.mu,
+                                                     encoded.log_sigma)
+        return loss
+
     def score(self, params: Dict, graph: Optional[GraphBatch],
               triples: jax.Array) -> jax.Array:
         """sigmoid(energies) for given triples, test mode

@@ -237,6 +237,7 @@ class TrainLoop:
                  metrics_path: Optional[str] = None,
                  device_negatives: bool = True,
                  negative_mode: str = "binomial",
+                 negative_pool_size: int = 512,
                  steps_per_dispatch: int = 8,
                  prefetch_threads: int = 2):
         self.model = model
@@ -270,12 +271,35 @@ class TrainLoop:
         # a bilinear decoder and device negatives). 'binomial' = the
         # reference's per-slot coin-flip protocol.
         self.negative_mode = negative_mode
+        factorizable = getattr(model.decoder, "factorizable", False)
         use_structured = (negative_mode == "split"
                           and device_negatives and not model.has_state
-                          and getattr(model.decoder, "factorizable", False))
+                          and factorizable)
+        use_shared = (negative_mode == "shared"
+                      and device_negatives and not model.has_state
+                      and factorizable)
         self._use_structured = use_structured
+        self._use_shared = use_shared
+        self.negative_pool_size = negative_pool_size
 
         def train_step(params, opt_state, graph, triples, labels, mask, rng):
+            if self._use_shared:
+                pool = jax.random.randint(
+                    jax.random.fold_in(rng, 778),
+                    (self.negative_pool_size,), 0, n_entities,
+                    dtype=triples.dtype)
+
+                def loss_fn(p):
+                    return model.loss_shared_negatives(
+                        p, graph, triples, mask, pool, rng=rng,
+                        deterministic=False)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = jax.tree_util.tree_map(lambda a, u: a + u, params,
+                                                updates)
+                return params, opt_state, loss
+
             if self._use_structured:
                 neg_s, neg_o = device_negative_entities_split(
                     triples, rate, n_entities, jax.random.fold_in(rng, 777))

@@ -47,6 +47,11 @@ def main() -> None:
     parser.add_argument("--sampler", default="neighborhood",
                         choices=["neighborhood", "uniform"],
                         help="Subgraph sampler (uniform = faster host path).")
+    parser.add_argument("--negative-mode", default="binomial",
+                        choices=["binomial", "split", "shared"],
+                        help="binomial = reference coin-flip corruption; "
+                             "split = factorized fast path; shared = "
+                             "shared-pool GEMM path (bilinear decoders).")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
                         help="Force CPU execution.")
@@ -98,7 +103,8 @@ def main() -> None:
         return early_stopping
 
     loop = TrainLoop(model, cfg, ds, scoring_function=score_validation_data,
-                     sampler=args.sampler, seed=args.seed)
+                     sampler=args.sampler, seed=args.seed,
+                     negative_mode=args.negative_mode)
 
     checkpoint_path = cfg.training.experiment_name
     t0 = time.time()
