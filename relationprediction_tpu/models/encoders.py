@@ -151,6 +151,14 @@ def init_gcn_layer(key, variant: str, *, n_relations: int, d_in: int,
     raise ValueError(f"unknown gcn variant {variant!r}")
 
 
+def _edge_chunk(n_edges: int) -> Optional[int]:
+    """Largest MXU-friendly chunk size dividing the padded edge count."""
+    for c in (512, 256, 128, 64):
+        if n_edges % c == 0:
+            return c
+    return None
+
+
 def _edge_messages(params: Dict, variant: str, features: Optional[jax.Array],
                    vertices: jax.Array, relations: jax.Array,
                    direction: str, n_bases: int,
@@ -165,11 +173,24 @@ def _edge_messages(params: Dict, variant: str, features: Optional[jax.Array],
     sfx = "forward" if direction == "forward" else "backward"
 
     if variant in ("basis", "basis_stored", "basis_plus_diag"):
-        proj = relblock.basis_vertex_projection(
-            features, params[f"W_{sfx}"].reshape(params[f"W_{sfx}"].shape[0], -1),
-            n_bases)
-        msgs = relblock.basis_messages(proj, params[f"C_{sfx}"], vertices,
-                                       relations)
+        w_flat = params[f"W_{sfx}"].reshape(params[f"W_{sfx}"].shape[0], -1)
+        chunk = _edge_chunk(vertices.shape[0]) if features is not None \
+            else None
+        if chunk:
+            # Dense input: gather [E, d] features once and contract the
+            # basis projection chunk-by-chunk on the MXU — avoids
+            # materializing the [E, B, d_out] intermediate (2.3x faster at
+            # FB15k-237 scale; benchmarks/message_variants_bench.py).
+            feats_e = jnp.asarray(features)[vertices]
+            coeffs_e = jnp.asarray(params[f"C_{sfx}"])[relations]
+            msgs = relblock.basis_messages_chunked(feats_e, w_flat,
+                                                   coeffs_e, n_bases,
+                                                   chunk=chunk)
+        else:
+            proj = relblock.basis_vertex_projection(features, w_flat,
+                                                    n_bases)
+            msgs = relblock.basis_messages(proj, params[f"C_{sfx}"],
+                                           vertices, relations)
         if variant == "basis_plus_diag":
             feats = proj_features(features, params, vertices)
             msgs = msgs + feats * params[f"D_types_{sfx}"][relations]

@@ -109,6 +109,58 @@ def block_diag_messages_bucketed(features, blocks, edge_vertices, bucket_rel,
     return y.reshape(-1, d)
 
 
+def block_diag_messages_bucketed_unrolled(features, blocks, edge_vertices,
+                                          bucket_rel, n_blocks: int,
+                                          bucket_size: int):
+    """Bucketed block-diagonal transform with the dr x dr contraction
+    unrolled into elementwise multiply-adds.
+
+    The einsum form lowers to [T, dr] x [dr, dr] batched matmuls whose
+    K=N=dr (5 for the paper model) waste almost the entire MXU tile; with
+    dr small it is faster to broadcast each W[..., i, j] scalar across the
+    bucket and fuse dr^2 VPU multiply-adds.
+    """
+    features = jnp.asarray(features)
+    d = features.shape[1]
+    dr = d // n_blocks
+    nb = edge_vertices.shape[0] // bucket_size
+    x = features[edge_vertices].reshape(nb, bucket_size, n_blocks, dr)
+    w = jnp.asarray(blocks)[bucket_rel]                # [nb, B, dr, dr]
+    wb = w[:, None]                                    # [nb, 1, B, dr, dr]
+    y = jnp.stack(
+        [sum(wb[..., i, j] * x[..., j] for j in range(dr))
+         for i in range(dr)], axis=-1)                 # [nb, T, B, dr]
+    return y.reshape(-1, d)
+
+
+def basis_messages_chunked(features_gathered, w_flat, edge_coeffs,
+                           n_bases: int, chunk: int = 512):
+    """Per-edge basis messages without materializing the [E, B, d_out]
+    intermediate: process edges in chunks, each chunk's basis projection
+    ([chunk, B*d_out], ~5 MB) contracts with its coefficients immediately.
+
+    features_gathered: [E, d_in] (sender/receiver features per edge);
+    w_flat: [d_in, B * d_out]; edge_coeffs: [E, B].
+    Trades the vertex-hoisted projection's 1.3 GB gather traffic for
+    E*d_in*B*d_out MXU FLOPs with only [E, d] streaming traffic.
+    """
+    e, d_in = features_gathered.shape
+    d_out = w_flat.shape[1] // n_bases
+    if e % chunk != 0:
+        raise ValueError(f"edge count {e} not a multiple of chunk {chunk}")
+    xc = features_gathered.reshape(-1, chunk, d_in)
+    cc = edge_coeffs.reshape(-1, chunk, n_bases)
+
+    def per_chunk(args):
+        x_c, c_c = args
+        t = jnp.dot(x_c, w_flat, preferred_element_type=jnp.float32)
+        t = t.reshape(chunk, n_bases, d_out)
+        return jnp.einsum("eb,ebd->ed", c_c, t)
+
+    out = jax.lax.map(per_chunk, (xc, cc))
+    return out.reshape(e, d_out)
+
+
 def diag_messages(features, diags, edge_vertices, edge_relations):
     """Per-relation diagonal scaling (DiagGcn, ``gcn_diag.py:30-38``):
     m_e = x_{v_e} * D[r_e]."""
