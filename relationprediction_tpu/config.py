@@ -161,6 +161,12 @@ class OptimizerConfig:
     learning_rate: float = 0.01
     max_gradient_norm: Optional[float] = 1.0
     batch_size: Optional[int] = None      # Minibatches component if set
+    # Contiguous (in-order, wrapping) minibatch windows instead of random
+    # sampling without replacement. The reference declares this mode
+    # (``shared/algorithms.py:30-39``) but its implementation is bit-rotted
+    # (undefined local, returns None) and the parser hardcodes it off
+    # (``optimizer_parameter_parser.py:16``); this implements the intent.
+    contiguous_sampling: bool = False
     max_iterations: Optional[int] = None  # IterationCounter component if set
     report_train_loss_every: int = 100
     early_stopping_check_every: int = 2000
@@ -249,6 +255,7 @@ def from_settings(settings: Settings) -> RunConfig:
         max_gradient_norm=(float(opt["MaxGradientNorm"])
                            if "MaxGradientNorm" in opt else None),
         batch_size=(int(opt["BatchSize"]) if "BatchSize" in opt else None),
+        contiguous_sampling=_yes(opt.get("ContiguousSampling", "No")),
         max_iterations=(int(opt["MaxIterations"])
                         if "MaxIterations" in opt else None),
         report_train_loss_every=int(opt.get("ReportTrainLossEvery", 100)),

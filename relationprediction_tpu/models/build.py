@@ -587,10 +587,13 @@ class JittedModelView:
         self._enc_val = None
 
     def _encoded(self, params, graph):
-        key = (id(params), id(graph))
-        if self._enc_key != key:
+        # Cache key holds STRONG references and compares with `is`: an
+        # id()-keyed cache would be unsound (CPython recycles ids after GC,
+        # so fresh params could silently hit a stale entry).
+        if (self._enc_key is None or self._enc_key[0] is not params
+                or self._enc_key[1] is not graph):
             self._enc_val = self._encode(params, graph)
-            self._enc_key = key
+            self._enc_key = (params, graph)
         return self._enc_val
 
     def score_all_subjects(self, params, graph, triples,

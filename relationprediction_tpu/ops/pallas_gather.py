@@ -68,7 +68,7 @@ def gather_rows(table: jax.Array, idx: jax.Array, *, block_size: int = 512,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(e // block_size,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((block_size, d), lambda n, idx: (n, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
@@ -149,7 +149,7 @@ def sorted_segment_sum(msgs: jax.Array, perm: jax.Array,
         num_scalar_prefetch=2,  # row_ptr, perm
         grid=(n_rows // rows_per_block,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # msgs (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # msgs (HBM)
         ],
         out_specs=pl.BlockSpec((rows_per_block, d), lambda n, *_: (n, 0),
                                memory_space=pltpu.VMEM),

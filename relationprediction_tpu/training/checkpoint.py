@@ -2,9 +2,11 @@
 
 The reference saves model weights only, every CheckEvery iterations, and has
 *no restore path at startup* (``model.py:30-39``; SURVEY.md §3.5). Here the
-checkpoint carries params + optimizer state + PRNG key + step so a run can
-resume bit-exactly on the device side (host-side samplers carry their own
-numpy RNG state, also saved).
+checkpoint carries params + optimizer state + device PRNG key + step, plus
+(via ``extra``) each batch pipeline's host state at its *consumption* point
+and the prefetcher's round-robin position — production may run ahead in
+background threads, so the consumption-point snapshot is what makes the
+resumed batch stream (and therefore the whole run) bit-exact.
 """
 from __future__ import annotations
 

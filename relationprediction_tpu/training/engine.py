@@ -104,6 +104,10 @@ class BatchPipeline:
             bs = config.optimizer.batch_size or n_train
             self.batch_size = min(bs, n_train)
             self.n_loss_triples = self.batch_size * (t.negative_sample_rate + 1)
+        # Minibatches 'contiguous' mode: in-order wrapping windows instead
+        # of random sampling (intent of ``shared/algorithms.py:36-39``).
+        self.contiguous = config.optimizer.contiguous_sampling
+        self._cursor = 0
         self.triple_pad = max(_round_up(self.n_loss_triples, 128), 128)
 
     def next(self) -> TrainBatch:
@@ -137,8 +141,14 @@ class BatchPipeline:
             graph = None
             if getattr(self, "batch_size", None) and \
                     self.batch_size < len(self.train):
-                idx = self.rng.choice(len(self.train), size=self.batch_size,
-                                      replace=False)
+                if self.contiguous:
+                    idx = (np.arange(self._cursor,
+                                     self._cursor + self.batch_size)
+                           % len(self.train))
+                    self._cursor = int(idx[-1] + 1) % len(self.train)
+                else:
+                    idx = self.rng.choice(len(self.train),
+                                          size=self.batch_size, replace=False)
                 batch = self.train[idx]
             else:
                 batch = self.train
@@ -154,6 +164,17 @@ class BatchPipeline:
         yp[:n] = y
         mp[:n] = 1.0
         return TrainBatch(graph, xp, yp, mp, edge_ids=edge_ids)
+
+    # -- resumable host state --------------------------------------------
+    def state(self) -> dict:
+        """Snapshot of all mutable host state that batch production
+        consumes (numpy RNG + contiguous cursor): restoring it reproduces
+        the exact future batch stream."""
+        return {"rng": self.rng.bit_generator.state, "cursor": self._cursor}
+
+    def set_state(self, st: dict) -> None:
+        self.rng.bit_generator.state = st["rng"]
+        self._cursor = st["cursor"]
 
     def _positives_batch(self, graph, positives, edge_ids) -> TrainBatch:
         """positives-only batch for device-side negative sampling: triples
@@ -171,30 +192,47 @@ class BatchPipeline:
 
 
 class _Prefetcher:
-    """Background-thread batch producer(s) so host-side sampling overlaps
-    with device steps (the reference's host loop runs serially with the
-    device, SURVEY.md §3.3). With n_threads > 1 each worker drives its own
-    pipeline (independent RNG streams derived from the shared generator)."""
+    """Background-thread batch producers so host-side sampling overlaps with
+    device steps (the reference's host loop runs serially with the device,
+    SURVEY.md §3.3).
 
-    def __init__(self, pipelines, depth: int = 4):
+    Deterministic by construction: each pipeline feeds its OWN bounded queue
+    and ``next()`` consumes round-robin, so the batch stream is a pure
+    function of (pipeline seeds, start_offset) regardless of thread timing.
+    Each queue item carries the pipeline's post-production host state; the
+    state of the most recently consumed item per pipeline (``states()``)
+    is exactly what a resumed run must restore to reproduce the stream
+    from the next batch onward — this is what makes checkpoint resume
+    bit-exact even with multi-threaded prefetch.
+    """
+
+    def __init__(self, pipelines, depth: int = 4, start_offset: int = 0):
         if not isinstance(pipelines, (list, tuple)):
             pipelines = [pipelines]
-        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.pipelines = list(pipelines)
+        n = len(self.pipelines)
+        per_q = max(1, -(-depth // n))
+        self.queues = [queue.Queue(maxsize=per_q) for _ in range(n)]
         self.stop_flag = False
         self.error: Optional[BaseException] = None
+        self._rr = start_offset % n
+        # State to restore per pipeline = state after the last CONSUMED
+        # batch (initially: the untouched pipeline state).
+        self._consumed_state = [p.state() for p in self.pipelines]
         self.threads = [
-            threading.Thread(target=self._run, args=(p,), daemon=True)
-            for p in pipelines]
+            threading.Thread(target=self._run, args=(p, q), daemon=True)
+            for p, q in zip(self.pipelines, self.queues)]
         for t in self.threads:
             t.start()
 
-    def _run(self, pipeline):
+    def _run(self, pipeline, q):
         try:
             while not self.stop_flag:
                 batch = pipeline.next()
+                item = (pipeline.state(), batch)
                 while not self.stop_flag:
                     try:
-                        self.q.put(batch, timeout=0.5)
+                        q.put(item, timeout=0.5)
                         break
                     except queue.Full:
                         continue
@@ -202,13 +240,21 @@ class _Prefetcher:
             self.error = e
 
     def next(self) -> TrainBatch:
+        q = self.queues[self._rr]
         while True:
             if self.error is not None:
                 raise self.error
             try:
-                return self.q.get(timeout=1.0)
+                st, batch = q.get(timeout=1.0)
             except queue.Empty:
                 continue
+            self._consumed_state[self._rr] = st
+            self._rr = (self._rr + 1) % len(self.queues)
+            return batch
+
+    def states(self):
+        """(per-pipeline resume states, next round-robin index)."""
+        return list(self._consumed_state), self._rr
 
     def close(self):
         self.stop_flag = True
@@ -386,7 +432,8 @@ class TrainLoop:
         report_every = cfg.report_train_loss_every
 
         source = _Prefetcher([self.pipeline] + self._extra_pipelines,
-                             depth=2 * self.steps_per_dispatch) \
+                             depth=2 * self.steps_per_dispatch,
+                             start_offset=getattr(self, "_resume_rr", 0)) \
             if self.prefetch else self.pipeline
         started = time.time()
         cumulative_loss = 0.0
@@ -507,10 +554,16 @@ class TrainLoop:
                 # stopper fired, matching the decorator order.
                 if checkpoint_path and save_every and i % save_every == 0:
                     process_pending()
+                    if isinstance(source, _Prefetcher):
+                        pipe_states, rr = source.states()
+                    else:
+                        pipe_states, rr = [self.pipeline.state()], 0
                     ckpt_lib.save(checkpoint_path, params=params,
                                   opt_state=opt_state, step=i,
                                   rng_key=self.rng_key,
-                                  host_rng_state=self.host_rng.bit_generator.state)
+                                  host_rng_state=self.host_rng.bit_generator.state,
+                                  extra={"pipeline_states": pipe_states,
+                                         "rr": rr})
                     self.log("saving...")
         finally:
             if isinstance(source, _Prefetcher):
@@ -523,13 +576,23 @@ class TrainLoop:
 
     def resume(self, checkpoint_path: str, **fit_kwargs) -> FitResult:
         """Restore the full train state and continue fitting — the resume
-        path the reference never had."""
+        path the reference never had. Restores device PRNG, every batch
+        pipeline's host state at its consumption point, and the prefetcher's
+        round-robin position, so the resumed batch stream is bit-identical
+        to an uninterrupted run."""
         state = ckpt_lib.restore_latest(checkpoint_path)
         if state is None:
             raise FileNotFoundError(f"no checkpoint at {checkpoint_path}")
         self.rng_key = jnp.asarray(state["rng_key"])
         if state.get("host_rng_state"):
             self.host_rng.bit_generator.state = state["host_rng_state"]
+        extra = state.get("extra") or {}
+        pipe_states = extra.get("pipeline_states")
+        if pipe_states:
+            pipelines = [self.pipeline] + self._extra_pipelines
+            for p, st in zip(pipelines, pipe_states):
+                p.set_state(st)
+            self._resume_rr = extra.get("rr", 0)
         return self.fit(params=state["params"],
                         opt_state=state["opt_state"],
                         start_iteration=state["step"],

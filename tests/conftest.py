@@ -34,4 +34,5 @@ def rng():
 @pytest.fixture(scope="session")
 def toy_dataset():
     from relationprediction_tpu.data import dataset
-    return dataset.load("/root/reference/data/Toy")
+    return dataset.load(os.path.join(os.path.dirname(__file__), "..",
+                                     "data", "Toy"))

@@ -139,3 +139,52 @@ def test_minibatches_component(toy_dataset):
     assert float(np.asarray(batch2.mask).sum()) == 16
     result2 = loop2.fit(max_iterations=5)
     assert np.isfinite(result2.last_loss)
+
+
+def test_contiguous_minibatches(toy_dataset):
+    cfg = small_config("distmult", toy_dataset)
+    opt = dataclasses.replace(cfg.optimizer, batch_size=16,
+                              contiguous_sampling=True)
+    cfg = dataclasses.replace(cfg, optimizer=opt)
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, log=lambda s: None,
+                     prefetch=False, device_negatives=True)
+    train = np.asarray(toy_dataset.train)
+    n = len(train)
+    # In-order wrapping windows over the training set.
+    for start in (0, 16, 32):
+        batch = loop.pipeline.next()
+        want = train[np.arange(start, start + 16) % n]
+        np.testing.assert_array_equal(np.asarray(batch.triples)[:16], want)
+    result = loop.fit(max_iterations=5)
+    assert np.isfinite(result.last_loss)
+
+
+def test_resume_bitexact_with_prefetch(toy_dataset, tmp_path):
+    """Interrupted-and-resumed training reproduces the uninterrupted run
+    bit-exactly, even with multi-threaded prefetch (the deterministic
+    round-robin prefetcher + consumption-point pipeline states)."""
+    import jax
+
+    cfg = small_config("distmult", toy_dataset)
+    opt = dataclasses.replace(cfg.optimizer, save_every_n=10)
+    cfg = dataclasses.replace(cfg, optimizer=opt)
+    model = build_model(cfg)
+
+    def make_loop():
+        return TrainLoop(model, cfg, toy_dataset, seed=0,
+                         log=lambda s: None, prefetch=True,
+                         prefetch_threads=2)
+
+    res_full = make_loop().fit(max_iterations=20,
+                               checkpoint_path=str(tmp_path / "full"))
+
+    make_loop().fit(max_iterations=10, checkpoint_path=str(tmp_path / "half"))
+    res_resumed = make_loop().resume(str(tmp_path / "half"),
+                                     max_iterations=20)
+
+    assert res_resumed.iterations == 20
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        res_full.params, res_resumed.params)
