@@ -129,6 +129,10 @@ class EncoderConfig:
     random_input: bool = False
     partially_random_input: bool = False
     skip_connections: str = "None"  # None | Residual | Highway
+    # TPU perf extension (not in the reference): message-stream precision
+    # for the aggregation path. "bfloat16" halves the permute+scatter HBM
+    # traffic; accumulation stays float32.
+    message_precision: str = "float32"  # float32 | bfloat16
 
     @property
     def gcn_variant(self) -> str:
@@ -235,6 +239,7 @@ def from_settings(settings: Settings) -> RunConfig:
         random_input=_yes(enc.get("RandomInput", "No")),
         partially_random_input=_yes(enc.get("PartiallyRandomInput", "No")),
         skip_connections=enc.get("SkipConnections", "None"),
+        message_precision=enc.get("MessagePrecision", "float32"),
     )
 
     decoder = DecoderConfig(

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.staircase import StaircaseLayout, build_staircase_layout
+
 
 class GraphBatch(NamedTuple):
     """A padded, fixed-shape batch of typed directed edges.
@@ -72,6 +74,12 @@ class GraphBatch(NamedTuple):
     b_norm: Optional[jax.Array] = None
     fwd_sorted: bool = False
     bwd_sorted: bool = False
+    # Staircase scatter layouts (ops/staircase.py): the production TPU
+    # aggregation path. Built against the PRIMARY edge order; each
+    # direction gets its own target-sorted, row-block-aligned layout with
+    # the 1/degree weights folded in. None -> XLA segment_sum path.
+    sc_fwd: Optional[StaircaseLayout] = None
+    sc_bwd: Optional[StaircaseLayout] = None
 
     @property
     def n_padded_edges(self) -> int:
@@ -88,7 +96,7 @@ class GraphBatch(NamedTuple):
 # cross jit boundaries without retracing on array identity.
 _ARRAY_FIELDS = ("senders", "relations", "receivers", "mask", "fwd_norm",
                  "bwd_norm", "bucket_rel", "b_senders", "b_relations",
-                 "b_receivers", "b_mask", "b_norm")
+                 "b_receivers", "b_mask", "b_norm", "sc_fwd", "sc_bwd")
 _STATIC_FIELDS = ("n_vertices", "n_relations", "bucket_size", "fwd_sorted",
                   "bwd_sorted")
 
@@ -108,7 +116,10 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
                       bucket_size: Optional[int] = None,
                       shard_align: int = 8,
                       sort_directions: Optional[bool] = None,
-                      to_device: bool = True) -> GraphBatch:
+                      to_device: bool = True,
+                      staircase: bool = False,
+                      sc_rb: int = 128, sc_chunk: int = 256,
+                      sc_shards: int = 1) -> GraphBatch:
     """Host-side construction of a GraphBatch from an [N, 3] (s, r, o) array.
 
     ``pad_to`` fixes the edge-array length so that repeated calls with
@@ -123,6 +134,13 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
     per bucket instead of once per edge. The padded length is rounded to a
     multiple of ``bucket_size * shard_align`` so the edge axis stays evenly
     shardable across a device mesh.
+
+    ``staircase``: additionally build the per-direction staircase scatter
+    layouts (ops/staircase.py — the production TPU aggregation kernel).
+    Requires 'global' normalization. Chunk counts are padded to a bound
+    that depends only on (pad size, chunk, rb), so repeated builds with
+    varying edge counts keep static shapes. ``sc_shards`` builds
+    shard-local layouts for edge-partitioned multi-chip execution.
     """
     triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
     n = triples.shape[0]
@@ -133,7 +151,8 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
                              "relation bucketing")
         return _build_bucketed(triples, n_vertices, n_relations, pad_to,
                                normalization, bucket_size, shard_align,
-                               to_device)
+                               to_device, staircase=staircase, sc_rb=sc_rb,
+                               sc_chunk=sc_chunk, sc_shards=sc_shards)
     if sort_directions is None:
         sort_directions = False  # explicit opt-in (RGCNModel.make_graph)
 
@@ -164,6 +183,15 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
         bwd = _host_norm(senders, relations, mask, n_vertices, n_relations,
                          normalization)
 
+    sc_fwd = sc_bwd = None
+    if staircase:
+        if normalization != "global":
+            raise ValueError("staircase layouts require 'global' "
+                             "normalization")
+        sc_fwd, sc_bwd = _staircase_layouts(
+            senders, receivers, fwd, bwd, n_vertices, sc_rb, sc_chunk,
+            sc_shards, to_device)
+
     dev = jnp.asarray if to_device else (lambda x: x)
     b_arrays = {}
     bwd_sorted = False
@@ -191,8 +219,25 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
         n_relations=int(n_relations),
         fwd_sorted=bool(sort_directions),
         bwd_sorted=bwd_sorted,
+        sc_fwd=sc_fwd, sc_bwd=sc_bwd,
         **b_arrays,
     )
+
+
+def _staircase_layouts(senders, receivers, fwd_norm, bwd_norm, n_vertices,
+                       sc_rb, sc_chunk, sc_shards, to_device):
+    """Per-direction staircase scatter layouts with a shape bound that is a
+    pure function of (pad size, chunk, rb) so executables are reused across
+    resampled subgraphs."""
+    per = senders.shape[0] // sc_shards
+    bound = -(-per // sc_chunk) + -(-n_vertices // sc_rb)
+    sc_fwd = build_staircase_layout(
+        receivers, fwd_norm, n_vertices, rb=sc_rb, chunk=sc_chunk,
+        shards=sc_shards, pad_chunks_to=bound, to_device=to_device)
+    sc_bwd = build_staircase_layout(
+        senders, bwd_norm, n_vertices, rb=sc_rb, chunk=sc_chunk,
+        shards=sc_shards, pad_chunks_to=bound, to_device=to_device)
+    return sc_fwd, sc_bwd
 
 
 def bucketed_size(counts: np.ndarray, bucket_size: int) -> int:
@@ -205,7 +250,9 @@ def bucketed_size(counts: np.ndarray, bucket_size: int) -> int:
 def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
                     pad_to: Optional[int], normalization: Optional[str],
                     bucket_size: int, shard_align: int,
-                    to_device: bool = True) -> GraphBatch:
+                    to_device: bool = True, staircase: bool = False,
+                    sc_rb: int = 128, sc_chunk: int = 256,
+                    sc_shards: int = 1) -> GraphBatch:
     n = triples.shape[0]
     counts = np.bincount(triples[:, 1], minlength=n_relations)
     padded_counts = -(-counts // bucket_size) * bucket_size  # 0 stays 0
@@ -255,6 +302,15 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
         bwd = _host_norm(senders, relations, mask, n_vertices, n_relations,
                          normalization)
 
+    sc_fwd = sc_bwd = None
+    if staircase:
+        if normalization != "global":
+            raise ValueError("staircase layouts require 'global' "
+                             "normalization")
+        sc_fwd, sc_bwd = _staircase_layouts(
+            senders, receivers, fwd, bwd, n_vertices, sc_rb, sc_chunk,
+            sc_shards, to_device)
+
     dev = jnp.asarray if to_device else (lambda x: x)
     return GraphBatch(
         senders=dev(senders),
@@ -267,6 +323,7 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
         n_relations=int(n_relations),
         bucket_rel=dev(bucket_rel),
         bucket_size=int(bucket_size),
+        sc_fwd=sc_fwd, sc_bwd=sc_bwd,
     )
 
 

@@ -202,23 +202,32 @@ class RGCNModel:
         return None
 
     def make_graph(self, triples, pad_to: Optional[int] = None,
-                   shard_align: int = 8, to_device: bool = True
-                   ) -> GraphBatch:
+                   shard_align: int = 8, to_device: bool = True,
+                   staircase: Optional[bool] = None,
+                   sc_shards: int = 1) -> GraphBatch:
         """Build a GraphBatch in this model's preferred layout.
 
         For bucketed layouts, pass the same ``pad_to`` upper bound every
         step (e.g. split_size + R * (bucket_size - 1)) to keep shapes
         static across resampled subgraphs.
+
+        staircase: build the per-direction staircase scatter layouts (the
+        production TPU aggregation, ops/staircase.py). Default: on for all
+        GCN variants except the stored-message one (which aggregates with
+        'none' normalization).
         """
         from ..graph import build_graph_batch
         bucket = self.preferred_bucket_size
+        if staircase is None:
+            staircase = self.is_gcn and not self.has_state
         # The stored variant indexes message caches by batch edge id, so
         # its graphs must preserve the input edge order.
-        sort_directions = not (self.has_state or bucket)
+        sort_directions = not (self.has_state or bucket or staircase)
         return build_graph_batch(
             triples, self.n_entities, self.n_relations, pad_to=pad_to,
             bucket_size=bucket, shard_align=shard_align,
-            sort_directions=sort_directions, to_device=to_device)
+            sort_directions=sort_directions, to_device=to_device,
+            staircase=staircase, sc_shards=sc_shards)
 
     def graph_pad_bound(self, n_edges: int) -> int:
         """A fixed pad size that accommodates any n_edges-edge subgraph in
@@ -283,6 +292,8 @@ class RGCNModel:
         # --- message-passing layers -------------------------------------
         variant = "diag" if e.name == "gcn_diag" else e.gcn_variant
         highways = params.get("highways")
+        agg_dtype = (jnp.bfloat16 if e.message_precision
+                     in ("bfloat16", "bf16") else None)
         for layer_idx, layer_params in enumerate(params["gcn_layers"]):
             use_nonlinearity = layer_idx < e.n_layers - 1
             new_features = enc.apply_gcn_layer(
@@ -291,7 +302,8 @@ class RGCNModel:
                 dropout_keep=e.dropout_keep_probability,
                 deterministic=deterministic,
                 rng=jax.random.fold_in(rng, 100 + layer_idx),
-                n_vertices=self.n_entities, axis_name=axis_name)
+                n_vertices=self.n_entities, axis_name=axis_name,
+                agg_dtype=agg_dtype)
             if features is not None and e.skip_connections == "Highway":
                 new_features = enc.apply_highway(highways[layer_idx],
                                                  new_features, features)

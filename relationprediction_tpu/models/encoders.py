@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from .. import graph as graph_lib
 from ..graph import GraphBatch
 from ..ops import relblock
+from ..ops import staircase as staircase_lib
 from . import initializers as init
 
 
@@ -242,7 +243,8 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
                     use_nonlinearity: bool, dropout_keep: float,
                     deterministic: bool, rng: Optional[jax.Array],
                     n_vertices: int,
-                    axis_name: Optional[str] = None) -> jax.Array:
+                    axis_name: Optional[str] = None,
+                    agg_dtype=None) -> jax.Array:
     """One R-GCN message-passing layer (template at ``message_gcn.py:49-79``):
 
       1. per-edge forward messages (from senders) and backward messages
@@ -276,21 +278,34 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
                          b_relations, "backward", n_bases, graph)
 
     norm = "none" if variant == "basis_stored" else "global"
-    w_f = graph_lib.degree_normalization(graph, "forward", norm)
-    if norm == "none":
-        w_b = graph.b_mask if graph.b_mask is not None else graph.mask
-    elif graph.b_norm is not None:
-        w_b = graph.b_norm
+    if norm == "global" and graph.sc_fwd is not None:
+        # Production TPU path: fused permute+weight + staircase one-hot
+        # MXU scatter (ops/staircase.py); VJP is a monotone row gather.
+        interp = staircase_lib.default_interpret()
+        collected_f = staircase_lib.staircase_aggregate(
+            fwd, graph.sc_fwd, n_vertices, interp, agg_dtype)
+        collected_b = staircase_lib.staircase_aggregate(
+            bwd, graph.sc_bwd, n_vertices, interp, agg_dtype)
     else:
-        w_b = graph_lib.degree_normalization(graph, "backward", norm)
-    if axis_name is not None and graph.fwd_norm is None and norm == "global":
-        raise ValueError("edge-sharded execution requires host-precomputed "
-                         "normalization weights in the GraphBatch")
+        w_f = graph_lib.degree_normalization(graph, "forward", norm)
+        if norm == "none":
+            w_b = graph.b_mask if graph.b_mask is not None else graph.mask
+        elif graph.b_norm is not None:
+            w_b = graph.b_norm
+        else:
+            w_b = graph_lib.degree_normalization(graph, "backward", norm)
+        if axis_name is not None and graph.fwd_norm is None \
+                and norm == "global":
+            raise ValueError("edge-sharded execution requires "
+                             "host-precomputed normalization weights in "
+                             "the GraphBatch")
 
-    collected_f = graph_lib.aggregate(fwd, w_f, graph.receivers, n_vertices,
-                                      indices_are_sorted=graph.fwd_sorted)
-    collected_b = graph_lib.aggregate(bwd, w_b, b_senders, n_vertices,
-                                      indices_are_sorted=graph.bwd_sorted)
+        collected_f = graph_lib.aggregate(
+            fwd, w_f, graph.receivers, n_vertices,
+            indices_are_sorted=graph.fwd_sorted)
+        collected_b = graph_lib.aggregate(
+            bwd, w_b, b_senders, n_vertices,
+            indices_are_sorted=graph.bwd_sorted)
     combined = collected_f + collected_b
     if axis_name is not None:
         combined = jax.lax.psum(combined, axis_name)

@@ -48,12 +48,27 @@ def make_mesh(n_devices: Optional[int] = None,
 
 def _graph_specs(graph: Optional[GraphBatch]):
     """PartitionSpec pytree for a GraphBatch: every per-edge (and
-    per-bucket) array sharded on its leading axis."""
+    per-bucket / per-chunk) array sharded on its leading axis."""
     if graph is None:
         return None
     leaves, treedef = jax.tree_util.tree_flatten(graph)
     return jax.tree_util.tree_unflatten(treedef,
                                         [P(EDGE_AXIS)] * len(leaves))
+
+
+def _mesh_compatible(graph: Optional[GraphBatch], n_devices: int
+                     ) -> Optional[GraphBatch]:
+    """Drop staircase layouts that were not built for this mesh size.
+
+    A staircase layout is only shardable when it was built with
+    ``sc_shards == n_devices`` (each device's chunk list must reference its
+    own contiguous edge shard); otherwise fall back to the segment-sum
+    aggregation, which is exact under edge sharding."""
+    if graph is None or graph.sc_fwd is None:
+        return graph
+    if graph.sc_fwd.shards == n_devices:
+        return graph
+    return graph._replace(sc_fwd=None, sc_bwd=None)
 
 
 def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
@@ -86,6 +101,7 @@ def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
     data = P(EDGE_AXIS)
 
     def wrapped(params, opt_state, graph, triples, labels, mask, rng):
+        graph = _mesh_compatible(graph, mesh.devices.size)
         graph_spec = _graph_specs(graph)
         sharded = shard_map(
             step, mesh=mesh,
@@ -104,6 +120,7 @@ def shard_batch(mesh: Mesh, graph: Optional[GraphBatch], triples, labels,
     data_sharding = NamedSharding(mesh, P(EDGE_AXIS))
     rep_graph = None
     if graph is not None:
+        graph = _mesh_compatible(graph, mesh.devices.size)
         rep_graph = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, data_sharding), graph)
     return (rep_graph,

@@ -72,7 +72,13 @@ def test_sorted_sharded_step_matches(toy_dataset):
     params = model.init_params(jax.random.PRNGKey(0))
     opt = build_optimizer(cfg.optimizer)
     batch = BatchPipeline(model, cfg, ds, np.random.default_rng(0)).next()
-    assert batch.graph.fwd_sorted
+    # Staircase layouts are the default now; this test exercises the
+    # direction-sorted (b_*) layout, so build it explicitly.
+    graph = model.make_graph(ds.train,
+                             pad_to=batch.graph.n_padded_edges,
+                             staircase=False)
+    assert graph.fwd_sorted
+    batch = batch._replace(graph=graph)
 
     rng_key = jax.random.PRNGKey(7)
 
