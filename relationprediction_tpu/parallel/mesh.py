@@ -72,7 +72,10 @@ def _mesh_compatible(graph: Optional[GraphBatch], n_devices: int
 
 
 def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
-                            has_graph: bool = True) -> Callable:
+                            has_graph: bool = True,
+                            negative_mode: Optional[str] = None,
+                            negative_rate: int = 10,
+                            negative_pool_size: int = 512) -> Callable:
     """Build the jitted multi-chip training step.
 
     Signature: step(params, opt_state, graph, triples, labels, mask, rng)
@@ -81,12 +84,45 @@ def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
     params/opt_state replicated; graph edge arrays and triples/labels/mask
     sharded along EDGE_AXIS (leading dim divisible by mesh size). The loss
     returned is the exact global scalar.
+
+    negative_mode: None expects pre-tiled (host-side) negatives in
+    triples/labels/mask. 'binomial' / 'split' / 'shared' corrupt the
+    sharded positive batch ON DEVICE inside the step (triples then carries
+    positives only, labels is unused); the corruption RNG is folded with
+    the device's mesh position so every shard draws independent negatives
+    ('shared' uses one replicated pool by construction).
     """
+    from ..training.device_sampling import (device_negative_entities_split,
+                                            device_negative_sample)
+    n_entities = model.n_entities
 
     def step(params, opt_state, graph, triples, labels, mask, rng):
         def loss_fn(p):
-            return model.loss(p, graph, triples, labels, mask, rng=rng,
-                              deterministic=False, axis_name=EDGE_AXIS)
+            if negative_mode is None:
+                return model.loss(p, graph, triples, labels, mask, rng=rng,
+                                  deterministic=False, axis_name=EDGE_AXIS)
+            shard_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, 777),
+                jax.lax.axis_index(EDGE_AXIS))
+            if negative_mode == "shared":
+                pool = jax.random.randint(  # same pool on every device
+                    jax.random.fold_in(rng, 778), (negative_pool_size,),
+                    0, n_entities, dtype=triples.dtype)
+                return model.loss_shared_negatives(
+                    p, graph, triples, mask, pool, rng=rng,
+                    deterministic=False, axis_name=EDGE_AXIS)
+            if negative_mode == "split":
+                neg_s, neg_o = device_negative_entities_split(
+                    triples, negative_rate, n_entities, shard_rng)
+                return model.loss_structured(
+                    p, graph, triples, mask, neg_s, neg_o, rng=rng,
+                    deterministic=False, axis_name=EDGE_AXIS)
+            if negative_mode == "binomial":
+                t, y, m = device_negative_sample(
+                    triples, mask, negative_rate, n_entities, shard_rng)
+                return model.loss(p, graph, t, y, m, rng=rng,
+                                  deterministic=False, axis_name=EDGE_AXIS)
+            raise ValueError(f"unknown negative_mode {negative_mode!r}")
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # Per-device grads carry only the local shard's contribution

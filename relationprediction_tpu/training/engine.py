@@ -78,7 +78,8 @@ class BatchPipeline:
     def __init__(self, model: RGCNModel, config: RunConfig,
                  dataset: KGDataset, rng: np.random.Generator,
                  sampler: str = "neighborhood",
-                 device_negatives: bool = False):
+                 device_negatives: bool = False,
+                 shard_multiple: int = 1):
         self.model = model
         self.config = config
         self.train = np.asarray(dataset.train, dtype=np.int32)
@@ -87,16 +88,23 @@ class BatchPipeline:
         # device_negatives: emit only the positive batch (padded) and let
         # the jitted step corrupt on device (training/device_sampling.py).
         self.device_negatives = device_negatives and not model.has_state
+        # shard_multiple: every emitted leading dim (loss triples, positive
+        # batch, graph edge arrays) is padded to a multiple of this, so the
+        # batch can be sharded across a shard_multiple-device mesh
+        # (parallel/mesh.py edge partitioning).
+        self.shard_multiple = max(1, int(shard_multiple))
         t = config.training
         self.ns = NegativeSampler(t.negative_sample_rate, config.entity_count,
                                   rng)
 
         n_train = len(self.train)
+        align = int(np.lcm(128, self.shard_multiple))
         if model.needs_graph():
             gbs = t.graph_batch_size or n_train
             self.graph_batch_size = min(gbs, n_train)
             self.split_size = int(t.graph_split_size * self.graph_batch_size)
-            self.graph_pad = model.graph_pad_bound(self.split_size)
+            self.graph_pad = _round_up(
+                model.graph_pad_bound(self.split_size), align)
             self.adj = AdjacencyIndex(self.train, config.entity_count)
             self.n_loss_triples = self.graph_batch_size * (
                 t.negative_sample_rate + 1)
@@ -108,7 +116,7 @@ class BatchPipeline:
         # of random sampling (intent of ``shared/algorithms.py:36-39``).
         self.contiguous = config.optimizer.contiguous_sampling
         self._cursor = 0
-        self.triple_pad = max(_round_up(self.n_loss_triples, 128), 128)
+        self.triple_pad = max(_round_up(self.n_loss_triples, align), align)
 
     def next(self) -> TrainBatch:
         cfg = self.config
@@ -125,9 +133,10 @@ class BatchPipeline:
             graph_batch = self.train[batch_ids]
             split_ids = graph_split(batch_ids, cfg.training.graph_split_size,
                                     self.rng)
-            graph = self.model.make_graph(self.train[split_ids],
-                                          pad_to=self.graph_pad,
-                                          to_device=False)
+            graph = self.model.make_graph(
+                self.train[split_ids], pad_to=self.graph_pad,
+                shard_align=int(np.lcm(8, self.shard_multiple)),
+                sc_shards=self.shard_multiple, to_device=False)
             if self.model.has_state:
                 # Stored variant: keep the split's global edge ids, padded
                 # to the graph's static edge count with the phantom row.
@@ -182,6 +191,7 @@ class BatchPipeline:
         positives."""
         cap = (self.graph_batch_size if self.model.needs_graph()
                else self.batch_size)
+        cap = _round_up(cap, int(np.lcm(8, self.shard_multiple)))
         n = len(positives)
         xp = np.zeros((cap, 3), dtype=np.int32)
         mp = np.zeros((cap,), dtype=np.float32)
@@ -285,7 +295,8 @@ class TrainLoop:
                  negative_mode: str = "binomial",
                  negative_pool_size: int = 512,
                  steps_per_dispatch: int = 8,
-                 prefetch_threads: int = 2):
+                 prefetch_threads: int = 2,
+                 mesh=None):
         self.model = model
         self.config = config
         self.dataset = dataset
@@ -295,18 +306,30 @@ class TrainLoop:
         self.host_rng = np.random.default_rng(seed)
         self.metrics = MetricLogger(metrics_path, echo=False)
         self.timer = StepTimer()
+        # mesh: a jax.sharding.Mesh for edge-partitioned multi-chip training
+        # (parallel/mesh.py). Batches are padded so every leading dim
+        # divides the mesh; the jitted step is the shard_map'd one and
+        # params/opt state stay replicated across devices.
+        self.mesh = mesh
+        if mesh is not None and model.has_state:
+            raise ValueError("the stored-message (stateful) variant does not "
+                             "support mesh execution")
+        shard = int(mesh.devices.size) if mesh is not None else 1
         self.pipeline = BatchPipeline(model, config, dataset, self.host_rng,
                                       sampler,
-                                      device_negatives=device_negatives)
+                                      device_negatives=device_negatives,
+                                      shard_multiple=shard)
         # Each run dispatches K steps per executable (lax.scan over stacked
         # batches) to amortize per-dispatch transport; boundaries (reports,
         # validation checks, saves) fall back to the single-step path.
-        self.steps_per_dispatch = 1 if model.has_state else \
-            max(1, int(steps_per_dispatch))
+        # Mesh runs dispatch one (shard_map'd) step at a time.
+        self.steps_per_dispatch = 1 if (model.has_state or mesh is not None) \
+            else max(1, int(steps_per_dispatch))
         self._extra_pipelines = [
             BatchPipeline(model, config, dataset,
                           np.random.default_rng(seed + 1000 + w), sampler,
-                          device_negatives=device_negatives)
+                          device_negatives=device_negatives,
+                          shard_multiple=shard)
             for w in range(max(0, prefetch_threads - 1))]
         self.optimizer = build_optimizer(config.optimizer)
         self.rng_key = jax.random.PRNGKey(seed)
@@ -377,7 +400,23 @@ class TrainLoop:
                                             updates)
             return params, opt_state, loss
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        if mesh is not None:
+            from ..parallel.mesh import make_sharded_train_step
+            if not self.pipeline.device_negatives:
+                sharded_mode = None  # host pre-tiles negatives
+            elif use_structured:
+                sharded_mode = "split"
+            elif use_shared:
+                sharded_mode = "shared"
+            else:
+                sharded_mode = "binomial"
+            self._train_step = make_sharded_train_step(
+                model, self.optimizer, mesh,
+                has_graph=model.needs_graph(),
+                negative_mode=sharded_mode, negative_rate=rate,
+                negative_pool_size=negative_pool_size)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
         def train_chunk(params, opt_state, batches, keys):
             """K steps in one executable: scan over stacked batches."""
@@ -425,6 +464,10 @@ class TrainLoop:
         cfg = self.config.optimizer
         if params is None:
             params, opt_state = self.init_state()
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            params = replicate(self.mesh, params)
+            opt_state = replicate(self.mesh, opt_state)
         max_iter = max_iterations if max_iterations is not None \
             else cfg.max_iterations
         check_every = cfg.early_stopping_check_every
@@ -509,9 +552,13 @@ class TrainLoop:
                     i += 1
                     batch = source.next()
                     self.rng_key, step_key = jax.random.split(self.rng_key)
+                    g, t, y, m = (batch.graph, batch.triples,
+                                  batch.labels, batch.mask)
+                    if self.mesh is not None:
+                        from ..parallel.mesh import shard_batch
+                        g, t, y, m = shard_batch(self.mesh, g, t, y, m)
                     params, opt_state, loss_dev = self._train_step(
-                        params, opt_state, batch.graph, batch.triples,
-                        batch.labels, batch.mask, step_key)
+                        params, opt_state, g, t, y, m, step_key)
                     pending.append((i, loss_dev))
                 else:
                     batches = [source.next() for _ in range(k)]
