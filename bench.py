@@ -6,28 +6,65 @@ shapes — d=500, 100 blocks of 5x5, FB15k-237 entity/relation counts,
 Zipfian relation popularity) — per-edge relational transform in both
 directions + degree-normalized aggregation + self-loop, the computation the
 reference runs through ``tf.sparse_tensor_dense_matmul``
-(``gcn_basis_concat.py:69-83``).
+(``gcn_basis_concat.py:69-83``). The production path is the relation-
+bucketed transform + staircase one-hot MXU scatter (ops/staircase.py).
+
+``vs_baseline`` is the speedup over a reference-style implementation on the
+same hardware (per-edge weight-stack gather + unsorted scatter, the direct
+translation of the reference's edge-parallel formulation) — >1.0 means the
+TPU-native layout beats a faithful port.
+
+The JSON line also carries an ``extra`` dict: the bf16-message layer
+variant and full TRAIN-STEP metrics (ms/step, steps/s, message-edges/s)
+for the three negative-sampling protocols, measured through the production
+TrainLoop on FB15k-237-scale synthetic data.
 
 Timing methodology: this environment's TPU transport adds ~28 ms latency
 per host->device call and its `block_until_ready` can return before the
-device finishes, so the op is repeated N times INSIDE one executable
+device finishes, so layer ops are repeated N times INSIDE one executable
 (data-dependency-chained fori_loop) with a single scalar fetch at the end.
+Train-step numbers time the real dispatch loop (host pipeline included).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the speedup over a reference-style implementation on the
-same hardware (per-edge weight-stack gather, the direct translation of the
-reference's edge-parallel formulation) — >1.0 means the TPU-native layout
-beats a faithful port.
+Capture-proofing: backend initialization (the axon TPU tunnel can be
+transiently UNAVAILABLE) is retried with exponential backoff; individual
+extra metrics degrade to null instead of failing the whole run.
 """
 from __future__ import annotations
 
 import json
 import sys
 import time
+import traceback
 
 import numpy as np
 
 N_ITERS = 20
+INIT_RETRIES = 6
+
+
+def _init_backend():
+    """jax.devices() with retry/backoff around transient tunnel failures."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    delay = 2.0
+    for attempt in range(INIT_RETRIES):
+        try:
+            devs = jax.devices()
+            print(f"backend ready: {devs[0]} ({len(devs)} device(s))",
+                  file=sys.stderr)
+            return jax
+        except Exception as e:  # noqa: BLE001 - backend init is opaque
+            print(f"backend init attempt {attempt + 1}/{INIT_RETRIES} "
+                  f"failed: {e}", file=sys.stderr)
+            if attempt == INIT_RETRIES - 1:
+                raise
+            try:  # drop any cached failed-backend state before retrying
+                jax.extend.backend.clear_backends()
+            except Exception:  # noqa: BLE001
+                pass
+            time.sleep(delay)
+            delay = min(delay * 2, 60.0)
 
 
 def timed(fn, *args):
@@ -47,12 +84,9 @@ def timed(fn, *args):
     return (time.perf_counter() - t0) / N_ITERS, compile_s
 
 
-def main() -> None:
-    import jax
+def bench_layer(jax):
+    """Production staircase layer vs reference-style per-edge formulation."""
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from relationprediction_tpu.graph import build_graph_batch
     from relationprediction_tpu.models import encoders as enc
@@ -72,33 +106,97 @@ def main() -> None:
                                 n_relations=R, d_in=D, d_out=D, n_bases=B)
     features = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
 
-    def layer(graph):
+    def layer(graph, agg_dtype=None):
         def body(params, feats, acc):
             out = enc.apply_gcn_layer(
                 params, "block", graph, feats + acc, n_bases=B,
                 use_nonlinearity=True, dropout_keep=1.0, deterministic=True,
-                rng=None, n_vertices=V)
+                rng=None, n_vertices=V, agg_dtype=agg_dtype)
             return out.sum()
         return body
 
-    g_bucketed = build_graph_batch(edges, V, R, bucket_size=64)
+    # Production layout: relation-bucketed + staircase scatter.
+    g_prod = build_graph_batch(edges, V, R, bucket_size=64, staircase=True)
+    # Reference-style: flat edge list, per-edge weight gather, raw scatter.
     g_flat = build_graph_batch(edges, V, R, pad_to=E)
 
-    dt, c1 = timed(layer(g_bucketed), params, features)
+    dt, c1 = timed(layer(g_prod), params, features)
+    dt_bf16, _ = timed(layer(g_prod, jnp.bfloat16), params, features)
     dt_base, c2 = timed(layer(g_flat), params, features)
 
-    edges_per_sec = E / dt
-    print(f"block R-GCN layer (TPU-native, bucketed): {dt * 1e3:.2f} ms "
-          f"({edges_per_sec / 1e6:.2f}M edges/s, compile {c1:.0f}s); "
+    print(f"block R-GCN layer (staircase): {dt * 1e3:.2f} ms "
+          f"({E / dt / 1e6:.2f}M edges/s, compile {c1:.0f}s); "
+          f"bf16 messages: {dt_bf16 * 1e3:.2f} ms "
+          f"({E / dt_bf16 / 1e6:.2f}M edges/s); "
           f"reference-style per-edge gather: {dt_base * 1e3:.2f} ms "
-          f"({E / dt_base / 1e6:.2f}M edges/s, compile {c2:.0f}s) on "
-          f"{jax.devices()[0]}", file=sys.stderr)
+          f"({E / dt_base / 1e6:.2f}M edges/s, compile {c2:.0f}s)",
+          file=sys.stderr)
+    return dict(edges=E, dt=dt, dt_bf16=dt_bf16, dt_base=dt_base)
 
+
+def bench_train_steps(jax, modes=("binomial", "split", "shared"),
+                      warmup=12, iters=20):
+    """Full production train step (TrainLoop dispatch loop, host pipeline
+    included) per negative-sampling protocol."""
+    from relationprediction_tpu import config as config_lib
+    from relationprediction_tpu.data import synthetic
+    from relationprediction_tpu.models import build_model
+    from relationprediction_tpu.training import TrainLoop
+    import os
+
+    ds = synthetic.like("FB15k-237", seed=0)
+    cfg = config_lib.load(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "settings", "gcn_block.exp"))
+    cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+    model = build_model(cfg)
+
+    out = {}
+    for mode in modes:
+        try:
+            loop = TrainLoop(model, cfg, ds, seed=0, log=lambda s: None,
+                             prefetch=True, negative_mode=mode)
+            params, opt_state = loop.init_state()
+            result = loop.fit(params, opt_state, max_iterations=warmup)
+            t0 = time.perf_counter()
+            result = loop.fit(result.params, result.opt_state,
+                              start_iteration=warmup,
+                              max_iterations=warmup + iters)
+            dt = (time.perf_counter() - t0) / iters
+            edges = loop.pipeline.split_size
+            out[mode] = {
+                "ms_per_step": round(dt * 1e3, 2),
+                "steps_per_sec": round(1.0 / dt, 2),
+                "msg_edges_per_sec": round(edges / dt, 1),
+            }
+            print(f"train step [{mode}]: {dt * 1e3:.1f} ms/step "
+                  f"({edges / dt / 1e6:.2f}M msg-edges/s)", file=sys.stderr)
+        except Exception:  # noqa: BLE001 - degrade, don't lose the capture
+            traceback.print_exc()
+            out[mode] = None
+    return out
+
+
+def main() -> None:
+    jax = _init_backend()
+
+    layer = bench_layer(jax)
+    steps = bench_train_steps(jax)
+
+    edges_per_sec = layer["edges"] / layer["dt"]
     print(json.dumps({
         "metric": "relational_spmm_block_edges_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
-        "vs_baseline": round(dt_base / dt, 3),
+        "vs_baseline": round(layer["dt_base"] / layer["dt"], 3),
+        "extra": {
+            "layer_ms": round(layer["dt"] * 1e3, 3),
+            "layer_bf16_ms": round(layer["dt_bf16"] * 1e3, 3),
+            "layer_bf16_edges_per_sec": round(
+                layer["edges"] / layer["dt_bf16"], 1),
+            "reference_style_layer_ms": round(layer["dt_base"] * 1e3, 3),
+            "train_step": steps,
+            "device": str(jax.devices()[0]),
+        },
     }))
 
 

@@ -17,6 +17,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RunConfig
 from ..graph import GraphBatch
@@ -557,14 +558,61 @@ class JittedModelView:
     just the decoder GEMM; one compiled executable per entry point.
     Presents the same (params, graph, triples) surface as RGCNModel so it
     can be handed directly to evaluation.Scorer.
+
+    mesh: a jax.sharding.Mesh for multi-chip evaluation. The encode pass
+    runs edge-sharded (shard_map + psum, exactly the training-step
+    aggregation; requires the graph to carry host-precomputed norms and,
+    for the staircase path, sc_shards == mesh size); the all-entity
+    decoder GEMMs shard the TRIPLE axis across devices, so each chip
+    scores 1/N of every evaluation chunk against the full entity table.
     """
 
-    def __init__(self, model: "RGCNModel"):
+    def __init__(self, model: "RGCNModel", mesh=None):
         self.model = model
+        self.mesh = mesh
+        self._n_dev = int(mesh.devices.size) if mesh is not None else 1
         dec = model.decoder
 
-        self._encode = jax.jit(
-            lambda p, g: model.encode(p, g, deterministic=True))
+        if mesh is None:
+            self._encode = jax.jit(
+                lambda p, g: model.encode(p, g, deterministic=True))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import EDGE_AXIS, _graph_specs, \
+                _mesh_compatible
+            try:
+                shard_map = jax.shard_map
+            except AttributeError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+            self._data_sharding = NamedSharding(mesh, P(EDGE_AXIS))
+            self._rep_sharding = NamedSharding(mesh, P())
+            self._mesh_compatible = _mesh_compatible
+
+            def enc_sharded(p, g):
+                return model.encode(p, g, deterministic=True,
+                                    axis_name=EDGE_AXIS)
+
+            # One jitted executable per graph treedef (rebuilt only if the
+            # graph layout changes, not per validation check).
+            enc_cache = {}
+
+            def encode(p, g):
+                if g is None:
+                    key = None
+                    if key not in enc_cache:
+                        enc_cache[key] = jax.jit(
+                            lambda p, g: model.encode(p, None,
+                                                      deterministic=True))
+                    return enc_cache[key](p, g)
+                key = jax.tree_util.tree_structure(g)
+                if key not in enc_cache:
+                    enc_cache[key] = jax.jit(shard_map(
+                        enc_sharded, mesh=mesh,
+                        in_specs=(P(), _graph_specs(g)), out_specs=P(),
+                        check_vma=False))
+                return enc_cache[key](p, g)
+
+            self._encode = encode
 
         def gather(enc, t):
             return (enc.entity_codes[t[:, 0]], enc.relation_codes[t[:, 1]],
@@ -604,25 +652,52 @@ class JittedModelView:
         # so fresh params could silently hit a stale entry).
         if (self._enc_key is None or self._enc_key[0] is not params
                 or self._enc_key[1] is not graph):
-            self._enc_val = self._encode(params, graph)
+            p, g = params, graph
+            if self.mesh is not None:
+                p = jax.device_put(p, self._rep_sharding)
+                if g is not None:
+                    g = self._mesh_compatible(g, self._n_dev)
+                    g = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, self._data_sharding), g)
+            self._enc_params = p
+            self._enc_val = self._encode(p, g)
             self._enc_key = (params, graph)
-        return self._enc_val
+        return self._enc_params, self._enc_val
+
+    def _place_triples(self, triples):
+        """Device placement for a triple chunk: replicated single-chip,
+        row-sharded (padded to the mesh size) multi-chip."""
+        t = jnp.asarray(triples)
+        if self.mesh is None:
+            return t, t.shape[0]
+        t = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
+        n = t.shape[0]
+        pad = -(-n // self._n_dev) * self._n_dev
+        if pad != n:
+            t = np.concatenate([t, np.repeat(t[-1:], pad - n, axis=0)])
+        return jax.device_put(t, self._data_sharding), n
 
     def score_all_subjects(self, params, graph, triples,
                            apply_sigmoid: bool = True):
         fn = self._subj_sig if apply_sigmoid else self._subj
-        return fn(params, self._encoded(params, graph),
-                  jnp.asarray(triples))
+        p, encoded = self._encoded(params, graph)
+        t, n = self._place_triples(triples)
+        out = fn(p, encoded, t)
+        return out if out.shape[0] == n else out[:n]
 
     def score_all_objects(self, params, graph, triples,
                           apply_sigmoid: bool = True):
         fn = self._obj_sig if apply_sigmoid else self._obj
-        return fn(params, self._encoded(params, graph),
-                  jnp.asarray(triples))
+        p, encoded = self._encoded(params, graph)
+        t, n = self._place_triples(triples)
+        out = fn(p, encoded, t)
+        return out if out.shape[0] == n else out[:n]
 
     def score(self, params, graph, triples):
-        return self._score(params, self._encoded(params, graph),
-                           jnp.asarray(triples))
+        p, encoded = self._encoded(params, graph)
+        t, n = self._place_triples(triples)
+        out = self._score(p, encoded, t)
+        return out if out.shape[0] == n else out[:n]
 
 
 def build_model(config: RunConfig) -> RGCNModel:

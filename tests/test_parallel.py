@@ -151,3 +151,145 @@ def test_sharded_staircase_parity(toy_dataset):
                              deterministic=True))(params))
     np.testing.assert_allclose(loss1, loss3, rtol=2e-5)
     assert np.isfinite(float(loss2))
+
+
+# ---------------------------------------------------------------------------
+# Integrated engine: TrainLoop(mesh=...) end-to-end
+# ---------------------------------------------------------------------------
+
+def _small_cfg(toy_dataset, exp="gcn_basis", **opt_overrides):
+    ds = toy_dataset
+    cfg = config_lib.load(f"/root/reference/settings/{exp}.exp")
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder, code_dimension=16,
+                                    internal_dimension=16, n_bases=4),
+        decoder=dataclasses.replace(cfg.decoder, code_dimension=16),
+        optimizer=dataclasses.replace(cfg.optimizer, **opt_overrides))
+    return cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+
+
+def test_trainloop_fit_on_mesh_loss_parity(toy_dataset):
+    """TrainLoop.fit over the 8-device mesh must track the single-device
+    run: same host-sampled batches (device_negatives=False), so per-step
+    losses and final params agree up to reduction-order float noise."""
+    from relationprediction_tpu.training import TrainLoop
+
+    losses = {"single": [], "mesh": []}
+
+    def run(mesh, tag):
+        cfg = _small_cfg(toy_dataset)
+        model = build_model(cfg)
+
+        def log(msg):
+            if msg.startswith("Initial loss:"):
+                losses[tag].append(float(msg.split(":")[1]))
+
+        loop = TrainLoop(model, cfg, toy_dataset, seed=7, prefetch=False,
+                         device_negatives=False, steps_per_dispatch=1,
+                         log=log, mesh=mesh)
+        return loop.fit(max_iterations=4)
+
+    r1 = run(None, "single")
+    r2 = run(make_mesh(), "mesh")
+    np.testing.assert_allclose(r1.last_loss, r2.last_loss,
+                               rtol=5e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
+
+
+def test_trainloop_mesh_device_negatives_learns(toy_dataset):
+    """The mesh loop's on-device per-shard negative corruption must train
+    (losses finite and decreasing on Toy)."""
+    from relationprediction_tpu.training import TrainLoop
+
+    cfg = _small_cfg(toy_dataset)
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, prefetch=False,
+                     log=lambda m: None, mesh=make_mesh())
+    first = loop.fit(max_iterations=1)
+    more = loop.fit(params=first.params, opt_state=first.opt_state,
+                    max_iterations=12, start_iteration=1)
+    assert np.isfinite(more.last_loss)
+    assert more.last_loss < first.last_loss
+
+
+def test_sharded_eval_matches_single_chip(toy_dataset):
+    """JittedModelView(mesh=...): edge-sharded encode + triple-sharded
+    all-entity scoring must reproduce the single-chip scores and MRR."""
+    from relationprediction_tpu.evaluation import Scorer
+    from relationprediction_tpu.models.build import JittedModelView
+
+    ds = toy_dataset
+    cfg = _small_cfg(toy_dataset)
+    model = build_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    mesh = make_mesh()
+    n = mesh.devices.size
+    pad = -(-model.graph_pad_bound(len(ds.train)) // (128 * n)) * (128 * n)
+    graph = model.make_graph(ds.train, pad_to=pad, sc_shards=n)
+
+    view1 = JittedModelView(model)
+    view8 = JittedModelView(model, mesh=mesh)
+    t = np.asarray(ds.valid, dtype=np.int32)
+
+    s1 = np.asarray(view1.score_all_objects(params, graph, t,
+                                            apply_sigmoid=False))
+    s8 = np.asarray(view8.score_all_objects(params, graph, t,
+                                            apply_sigmoid=False))
+    assert s8.shape == s1.shape
+    np.testing.assert_allclose(s1, s8, rtol=2e-4, atol=2e-5)
+
+    def mrr(view):
+        sc = Scorer(metric="MRR", chunk_size=7)  # ragged chunks vs 8 devices
+        sc.register_data(ds.train)
+        sc.register_data(ds.valid)
+        sc.register_data(ds.test)
+        sc.register_degrees(ds.train)
+        sc.register_model(view, params, graph, n_entities=ds.n_entities)
+        sc.finalize_frequency_computation(ds.all_triples())
+        return sc.compute_scores(ds.valid).results["Filtered"]["MRR"]
+
+    np.testing.assert_allclose(mrr(view1), mrr(view8), rtol=1e-5)
+
+
+def test_trainloop_mesh_with_sharded_eval(toy_dataset):
+    """Full integration: mesh training loop driving sharded validation
+    scoring (replicated params flow straight into the sharded scorer)."""
+    from relationprediction_tpu.evaluation import Scorer
+    from relationprediction_tpu.models.build import JittedModelView
+    from relationprediction_tpu.training import TrainLoop
+
+    ds = toy_dataset
+    cfg = _small_cfg(toy_dataset, early_stopping_check_every=4)
+    model = build_model(cfg)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    pad = -(-model.graph_pad_bound(len(ds.train)) // (128 * n)) * (128 * n)
+    eval_graph = model.make_graph(ds.train, pad_to=pad, sc_shards=n)
+
+    view = JittedModelView(model, mesh=mesh)
+    scorer = Scorer(metric="MRR")
+    scorer.register_data(ds.train)
+    scorer.register_data(ds.valid)
+    scorer.register_data(ds.test)
+    scorer.register_degrees(ds.train)
+    scorer.register_model(view, None, eval_graph, n_entities=ds.n_entities)
+    scorer.finalize_frequency_computation(ds.all_triples())
+
+    scores = []
+
+    def score_fn(params):
+        scorer.set_params(params)
+        s = scorer.compute_scores(ds.valid).results["Filtered"]["MRR"]
+        scores.append(s)
+        return s
+
+    loop = TrainLoop(model, cfg, ds, scoring_function=score_fn, seed=0,
+                     prefetch=False, log=lambda m: None, mesh=mesh)
+    result = loop.fit(max_iterations=8)
+    assert len(scores) == 2
+    assert all(0.0 < s <= 1.0 for s in scores)
+    assert np.isfinite(result.last_loss)

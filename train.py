@@ -55,6 +55,10 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
                         help="Force CPU execution.")
+    parser.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="Edge-partitioned multi-chip training over the "
+                             "first N devices (jax.sharding.Mesh; training "
+                             "step AND evaluation run sharded).")
     args = parser.parse_args()
 
     if args.cpu:
@@ -75,13 +79,25 @@ def main() -> None:
           f"{ds.n_relations} relations, {len(ds.train)} train triples")
 
     model = build_model(cfg)
-    view = JittedModelView(model)
+
+    mesh = None
+    if args.mesh is not None:
+        from relationprediction_tpu.parallel import make_mesh
+        if args.mesh > len(jax.devices()):
+            parser.error(f"--mesh {args.mesh} but only {len(jax.devices())} "
+                         "devices are attached")
+        mesh = make_mesh(args.mesh)
+        print(f"Mesh: {mesh.devices.size} devices, edge-partitioned")
+    n_shards = mesh.devices.size if mesh is not None else 1
+    view = JittedModelView(model, mesh=mesh)
 
     # Test-mode graph = the full training graph (``train.py:255-256``).
     eval_graph = None
     if model.needs_graph():
         eval_graph = model.make_graph(
-            ds.train, pad_to=_round_up(len(ds.train), 128))
+            ds.train, pad_to=_round_up(len(ds.train),
+                                       int(np.lcm(128, n_shards))),
+            shard_align=int(np.lcm(8, n_shards)), sc_shards=n_shards)
 
     scorer = Scorer(metric=cfg.training.metric)
     scorer.register_data(ds.train)
@@ -104,7 +120,7 @@ def main() -> None:
 
     loop = TrainLoop(model, cfg, ds, scoring_function=score_validation_data,
                      sampler=args.sampler, seed=args.seed,
-                     negative_mode=args.negative_mode)
+                     negative_mode=args.negative_mode, mesh=mesh)
 
     checkpoint_path = cfg.training.experiment_name
     t0 = time.time()
