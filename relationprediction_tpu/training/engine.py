@@ -548,18 +548,26 @@ class TrainLoop:
                             batch.graph, batch.edge_ids, batch.triples,
                             batch.labels, batch.mask, step_key)
                     pending.append((i, loss_dev))
-                elif k == 1:
-                    i += 1
-                    batch = source.next()
-                    self.rng_key, step_key = jax.random.split(self.rng_key)
-                    g, t, y, m = (batch.graph, batch.triples,
-                                  batch.labels, batch.mask)
-                    if self.mesh is not None:
-                        from ..parallel.mesh import shard_batch
-                        g, t, y, m = shard_batch(self.mesh, g, t, y, m)
-                    params, opt_state, loss_dev = self._train_step(
-                        params, opt_state, g, t, y, m, step_key)
-                    pending.append((i, loss_dev))
+                elif k < self.steps_per_dispatch:
+                    # Remainder before a host boundary: run k single steps
+                    # through the (already-compiled) one-step executable.
+                    # A k-sized scan would compile a NEW executable per
+                    # distinct remainder size — each compile/cache-load
+                    # costs seconds on a tunneled backend, easily dwarfing
+                    # the steps themselves.
+                    for _ in range(k):
+                        i += 1
+                        batch = source.next()
+                        self.rng_key, step_key = jax.random.split(
+                            self.rng_key)
+                        g, t, y, m = (batch.graph, batch.triples,
+                                      batch.labels, batch.mask)
+                        if self.mesh is not None:
+                            from ..parallel.mesh import shard_batch
+                            g, t, y, m = shard_batch(self.mesh, g, t, y, m)
+                        params, opt_state, loss_dev = self._train_step(
+                            params, opt_state, g, t, y, m, step_key)
+                        pending.append((i, loss_dev))
                 else:
                     batches = [source.next() for _ in range(k)]
                     stacked = jax.tree_util.tree_map(
