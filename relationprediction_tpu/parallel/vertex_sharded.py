@@ -11,34 +11,55 @@ VERTEX dimension instead:
   * edges are partitioned by *destination* shard (the graph analogue of
     the (relation, destination) partitioning in BASELINE.json): each
     device holds the edges whose aggregation target it owns;
-  * per layer, sender features are assembled with a jnp all_gather over
-    the mesh axis (boundary/halo exchange; the all-gather form exchanges
-    all rows — a targeted halo exchange that ships only boundary vertices
-    is the refinement path, using the same partitioning);
+  * per layer, each device fetches exactly the SOURCE vertex rows its
+    edges reference via a **targeted halo exchange**: host-precomputed
+    per-(owner, consumer) boundary row lists, shipped with ONE
+    ``all_to_all`` over the mesh axis (``halo="targeted"``, the default).
+    ``halo="all_gather"`` keeps the exchange-everything fallback;
   * aggregation then runs purely locally into the owned vertex rows —
-    no psum needed — and activations stay sharded between layers.
+    no psum needed — and activations stay sharded between layers;
+  * the training loss gathers decoder entity codes through a second halo
+    exchange keyed on the loss batch's subject/object ids, so gradients
+    flow back through ``all_to_all`` into the sharded entity table.
 
-Exact numerics: identical math to single-chip, just a different layout.
+Exact numerics: identical math to single-chip, just a different layout
+(tests/test_vertex_sharded.py asserts allclose parity for the basis and
+block variants, encode and loss+grad).
+
+Supported encoders: gcn_{basis,block,diag,basis_plus_diag,
+basis_times_diag} with a dense input transform and no skip connections.
+(The reference's shipped GCN configs all use an input transform —
+``gcn_basis.exp``/``gcn_block.exp``; skip connections and the variational
+stage remain edge-partitioned-only.)
+
+Train-mode note: the self-loop dropout mask is drawn over the FULL [V, d]
+activation shape on every shard and row-sliced, so sharded and single-chip
+training losses match bit-for-bit. For beyond-HBM V this mask should be
+drawn per-shard instead (one fold_in per shard) — cheaper, same
+distribution, different stream.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from .. import graph as graph_lib
-from ..graph import GraphBatch
+from ..models import decoders as decoders_lib
 from ..models import encoders as enc
 from ..models.build import RGCNModel
 from .mesh import EDGE_AXIS
+
+
+def _round_up(n: int, k: int) -> int:
+    return -(-n // k) * k
 
 
 def partition_edges_by_destination(triples: np.ndarray, n_vertices: int,
@@ -96,113 +117,160 @@ def partition_edges_by_destination(triples: np.ndarray, n_vertices: int,
     return f, b, rows_per
 
 
-class VertexShardedEncoder:
-    """Vertex-sharded forward pass for basis-variant GCN encoders.
+class HaloLayout(NamedTuple):
+    """Host-precomputed targeted boundary exchange.
 
-    Restricted support (round 1): gcn_basis family with an input transform
-    (dense features), no skip connections, no variational stage. The
-    edge-partitioned path in parallel/mesh.py covers the full surface.
+    send_idx: [N_src, N_dst, H] int32 — local row (within src's shard)
+              that src ships to dst; pad slots carry 0 (harmless read —
+              nothing points at them).
+    h:        static per-(owner, consumer) row budget (8-aligned max of
+              the actual boundary sizes).
+
+    On device (shard p): ``feats_local[send_idx[p]] -> [N, H, D]``, one
+    ``all_to_all`` -> ``[N, H, D]`` where slab q holds the rows p
+    requested FROM owner q; flattened to [N*H, D] and indexed by the
+    consumer pointers built by :func:`build_halo`.
     """
 
-    def __init__(self, model: RGCNModel, mesh: Mesh):
+    send_idx: np.ndarray
+    h: int
+
+
+def build_halo(sources_per_shard, mask_per_shard, rows_per: int,
+               n_shards: int, n_vertices: int):
+    """Build a targeted halo layout.
+
+    sources_per_shard: [N, K] int32 global vertex ids each consumer shard
+    reads (its edges' source endpoints, or its loss triples' entities);
+    entries with mask 0 (padding) are ignored and pointed at slot 0.
+
+    Returns (HaloLayout, ptr [N, K] int32) where ptr indexes the
+    flattened [N*H, D] post-exchange buffer.
+    """
+    sources = np.asarray(sources_per_shard, dtype=np.int64)
+    masks = np.asarray(mask_per_shard)
+    assert sources.shape[0] == n_shards
+
+    # per (consumer d, REMOTE owner q != d): sorted unique local rows
+    # requested. Own-shard reads never ride the exchange: they index the
+    # local slab appended after the [N*H] remote buffer, so the uniform
+    # budget H reflects only inter-chip boundary sizes.
+    rows: list = [[None] * n_shards for _ in range(n_shards)]
+    h = 8
+    for d in range(n_shards):
+        live = sources[d][masks[d] > 0]
+        live = live[live < n_vertices]  # drop phantom sentinels
+        owners = live // rows_per
+        for q in range(n_shards):
+            if q == d:
+                rows[d][q] = None
+                continue
+            r = np.unique(live[owners == q] % rows_per).astype(np.int64)
+            rows[d][q] = r
+            h = max(h, _round_up(len(r), 8))
+
+    send_idx = np.zeros((n_shards, n_shards, h), np.int32)
+    for d in range(n_shards):
+        for q in range(n_shards):
+            if q == d:
+                continue
+            r = rows[d][q]
+            send_idx[q, d, :len(r)] = r
+
+    ptr = np.zeros(sources.shape, np.int32)
+    for d in range(n_shards):
+        src = sources[d]
+        valid = (masks[d] > 0) & (src < n_vertices)
+        owners = np.where(valid, src // rows_per, 0)
+        local = np.where(valid, src % rows_per, 0)
+        p = np.zeros(src.shape, np.int64)
+        for q in range(n_shards):
+            sel = valid & (owners == q)
+            if not sel.any():
+                continue
+            if q == d:  # direct local-slab pointer
+                p[sel] = n_shards * h + local[sel]
+            else:
+                slot = np.searchsorted(rows[d][q], local[sel])
+                p[sel] = q * h + slot
+        ptr[d] = p.astype(np.int32)
+    return HaloLayout(send_idx, h), ptr
+
+
+def halo_traffic_rows(layout: HaloLayout, rows_per: int, n_shards: int):
+    """Inter-chip rows shipped per shard per exchange:
+    (targeted, all_gather)."""
+    return (n_shards - 1) * layout.h, (n_shards - 1) * rows_per
+
+
+def _halo_exchange(feats_local: jax.Array, send_idx: jax.Array,
+                   axis: str) -> jax.Array:
+    """[rows_per, D] local rows -> [N*H + rows_per, D]: requested remote
+    rows followed by the local slab (own-shard reads bypass the wire)."""
+    buf = feats_local[send_idx]                      # [N, H, D]
+    buf = jax.lax.all_to_all(buf, axis, 0, 0)        # slab q <- owner q
+    return jnp.concatenate(
+        [buf.reshape(-1, feats_local.shape[-1]), feats_local])
+
+
+_SUPPORTED_VARIANTS = ("basis", "block", "diag", "basis_plus_diag",
+                       "basis_times_diag")
+
+
+class VertexShardedEncoder:
+    """Vertex-sharded forward pass / training loss for GCN encoders.
+
+    halo: 'targeted' (default — per-pair boundary lists + one all_to_all
+    per layer) or 'all_gather' (exchange all rows; the round-1 fallback).
+    """
+
+    def __init__(self, model: RGCNModel, mesh: Mesh,
+                 halo: str = "targeted"):
         e = model.config.encoder
-        if not (model.is_gcn and e.use_input_transform
-                and e.gcn_variant in ("basis",) and
-                e.skip_connections == "None"):
-            raise ValueError("VertexShardedEncoder supports the basis "
-                             "variant with an input transform")
+        variant = "diag" if e.name == "gcn_diag" else e.gcn_variant
+        dense_input = e.name == "gcn_diag" or e.use_input_transform
+        if not (model.is_gcn and dense_input
+                and variant in _SUPPORTED_VARIANTS
+                and e.skip_connections == "None"
+                and not model.variational and not model.has_state):
+            raise ValueError(
+                "VertexShardedEncoder supports the dense-input "
+                f"{_SUPPORTED_VARIANTS} variants without skip connections")
+        if halo not in ("targeted", "all_gather"):
+            raise ValueError(f"unknown halo mode {halo!r}")
         self.model = model
         self.mesh = mesh
-        self.n_shards = mesh.devices.size
+        self.halo = halo
+        self.variant = variant
+        self.n_shards = int(mesh.devices.size)
         self.rows_per = -(-model.n_entities // self.n_shards)
         self.v_pad = self.rows_per * self.n_shards
 
+    # -- host-side layouts -------------------------------------------------
     def prepare(self, triples: np.ndarray, pad_to: int):
-        """Host-side destination partitioning -> device arrays."""
+        """Destination-partitioned edge arrays + per-direction halo
+        layouts. Returns (f_arrays, b_arrays) where each is the 5-tuple
+        (senders, relations, receivers, mask, norm) stacked [N, E_pad],
+        plus per-direction (send_idx [N,N,H], src_ptr [N,E_pad])."""
         f, b, _ = partition_edges_by_destination(
             triples, self.model.n_entities, self.n_shards, pad_to,
             self.model.n_relations)
-        return f, b
-
-    def encode_fn(self) -> Callable:
-        """shard_map'd encode: params['input_transform']['W'] sharded by
-        vertex rows; returns sharded [V_pad/n, d] codes per device."""
-        model = self.model
-        e = model.config.encoder
-        rows_per = self.rows_per
-        n_vertices = model.n_entities
-
-        def local_encode(params, f_arrays, b_arrays):
-            shard = jax.lax.axis_index(EDGE_AXIS)
-            row0 = shard * rows_per
-            # shard_map leaves a leading size-1 shard axis on the stacked
-            # [n_shards, E] inputs — drop it.
-            f_arrays = tuple(a[0] for a in f_arrays)
-            b_arrays = tuple(a[0] for a in b_arrays)
-
-            w = params["input_transform"]["W"]          # [rows_per, d] local
-            bias = params["input_transform"]["b"]
-            feats_local = jax.nn.relu(w + bias)          # [rows_per, d]
-
-            for li, lp in enumerate(params["gcn_layers"]):
-                use_nonlinearity = li < e.n_layers - 1
-                # Assemble the full sender-feature table (all-gather form
-                # of the boundary exchange).
-                feats_full = jax.lax.all_gather(
-                    feats_local, EDGE_AXIS, tiled=True)  # [V_pad, d]
-
-                f_sen, f_rel, f_rec, f_msk, f_nrm = f_arrays
-                b_sen, b_rel, b_rec, b_msk, b_nrm = b_arrays
-
-                fwd = enc._edge_messages(lp, "basis", feats_full, f_sen,
-                                         f_rel, "forward", e.n_bases)
-                bwd = enc._edge_messages(lp, "basis", feats_full, b_rec,
-                                         b_rel, "backward", e.n_bases)
-
-                # Local aggregation into owned rows only.
-                f_local = jnp.clip(f_rec - row0, 0, rows_per)
-                f_local = jnp.where(f_msk > 0, f_local, rows_per)
-                coll_f = jax.ops.segment_sum(fwd * f_nrm[:, None], f_local,
-                                             num_segments=rows_per + 1,
-                                             indices_are_sorted=True
-                                             )[:rows_per]
-                b_local = jnp.clip(b_sen - row0, 0, rows_per)
-                b_local = jnp.where(b_msk > 0, b_local, rows_per)
-                coll_b = jax.ops.segment_sum(bwd * b_nrm[:, None], b_local,
-                                             num_segments=rows_per + 1,
-                                             indices_are_sorted=True
-                                             )[:rows_per]
-
-                self_loop = jnp.dot(feats_local, lp["W_self"],
-                                    preferred_element_type=jnp.float32)
-                out = coll_f + coll_b + self_loop
-                if use_nonlinearity:
-                    out = jax.nn.relu(out)
-                feats_local = out
-            return feats_local
-
-        edge = P(EDGE_AXIS)
-        spec_arrays = (edge,) * 5
-        # input transform sharded by vertex rows; everything else replicated
-        def param_spec(params):
-            flat = jax.tree_util.tree_map(lambda _: P(), params)
-            it = dict(flat["input_transform"])
-            it["W"] = P(EDGE_AXIS)
-            flat = dict(flat)
-            flat["input_transform"] = it
-            return flat
-
-        def wrapped(params, f_arrays, b_arrays):
-            return shard_map(
-                local_encode, mesh=self.mesh,
-                in_specs=(param_spec(params), spec_arrays, spec_arrays),
-                out_specs=P(EDGE_AXIS),
-                check_vma=False)(params, f_arrays, b_arrays)
-
-        return jax.jit(wrapped)
+        f_sen, f_rel, f_rec, f_msk, f_nrm = f
+        b_sen, b_rel, b_rec, b_msk, b_nrm = b
+        # forward messages read SENDER features; backward read RECEIVERS.
+        f_halo, f_ptr = build_halo(f_sen, f_msk, self.rows_per,
+                                   self.n_shards, self.model.n_entities)
+        b_halo, b_ptr = build_halo(b_rec, b_msk, self.rows_per,
+                                   self.n_shards, self.model.n_entities)
+        self._traffic = (halo_traffic_rows(f_halo, self.rows_per,
+                                           self.n_shards),
+                         halo_traffic_rows(b_halo, self.rows_per,
+                                           self.n_shards))
+        return ((f_sen, f_rel, f_rec, f_msk, f_nrm, f_halo.send_idx, f_ptr),
+                (b_sen, b_rel, b_rec, b_msk, b_nrm, b_halo.send_idx, b_ptr))
 
     def pad_params(self, params):
-        """Pad the input-transform table to V_pad rows for even sharding."""
+        """Pad the input-transform table to v_pad rows for even sharding."""
         w = np.asarray(params["input_transform"]["W"])
         pad = self.v_pad - w.shape[0]
         if pad:
@@ -211,3 +279,194 @@ class VertexShardedEncoder:
         out["input_transform"] = dict(out["input_transform"])
         out["input_transform"]["W"] = w
         return out
+
+    def param_spec(self, params):
+        """PartitionSpec tree: input-transform rows sharded, rest
+        replicated."""
+        flat = jax.tree_util.tree_map(lambda _: P(), params)
+        it = dict(flat["input_transform"])
+        it["W"] = P(EDGE_AXIS)
+        flat = dict(flat)
+        flat["input_transform"] = it
+        return flat
+
+    # -- device-side encode -------------------------------------------------
+    def _local_encode(self, params, f_arrays, b_arrays, rng,
+                      deterministic: bool):
+        """Per-shard encode body (runs inside shard_map). Returns the
+        shard's [rows_per, d] final entity codes."""
+        e = self.model.config.encoder
+        rows_per = self.rows_per
+        n_vertices = self.model.n_entities
+        shard = jax.lax.axis_index(EDGE_AXIS)
+        row0 = shard * rows_per
+        # shard_map leaves a leading size-1 shard axis on stacked inputs.
+        f_sen, f_rel, f_rec, f_msk, f_nrm, f_send, f_ptr = (
+            a[0] for a in f_arrays)
+        b_sen, b_rel, b_rec, b_msk, b_nrm, b_send, b_ptr = (
+            a[0] for a in b_arrays)
+
+        w = params["input_transform"]["W"]           # [rows_per, d] local
+        bias = params["input_transform"]["b"]
+        # apply_affine(onehot, use_bias, use_nonlinearity) == relu(W + b)
+        feats_local = jax.nn.relu(w + bias)
+
+        for li, lp in enumerate(params["gcn_layers"]):
+            use_nonlinearity = li < e.n_layers - 1
+            lrng = (jax.random.fold_in(rng, 100 + li)
+                    if rng is not None else None)
+
+            if self.halo == "targeted":
+                f_feats = _halo_exchange(feats_local, f_send, EDGE_AXIS)
+                b_feats = _halo_exchange(feats_local, b_send, EDGE_AXIS)
+                f_src, b_src = f_ptr, b_ptr
+            else:
+                full = jax.lax.all_gather(feats_local, EDGE_AXIS,
+                                          tiled=True)  # [v_pad, d]
+                f_feats = b_feats = full
+                f_src, b_src = f_sen, b_rec
+
+            fwd = enc._edge_messages(lp, self.variant, f_feats, f_src,
+                                     f_rel, "forward", e.n_bases)
+            bwd = enc._edge_messages(lp, self.variant, b_feats, b_src,
+                                     b_rel, "backward", e.n_bases)
+
+            # Local aggregation into owned rows only.
+            f_local = jnp.clip(f_rec - row0, 0, rows_per)
+            f_local = jnp.where(f_msk > 0, f_local, rows_per)
+            coll_f = jax.ops.segment_sum(fwd * f_nrm[:, None], f_local,
+                                         num_segments=rows_per + 1,
+                                         indices_are_sorted=True)[:rows_per]
+            b_local = jnp.clip(b_sen - row0, 0, rows_per)
+            b_local = jnp.where(b_msk > 0, b_local, rows_per)
+            coll_b = jax.ops.segment_sum(bwd * b_nrm[:, None], b_local,
+                                         num_segments=rows_per + 1,
+                                         indices_are_sorted=True)[:rows_per]
+
+            self_loop = jnp.dot(feats_local, lp["W_self"],
+                                preferred_element_type=jnp.float32)
+            if not deterministic:
+                # Single-chip draws the mask over the full [V, d]; draw the
+                # same full mask and slice our rows for bit-parity.
+                keep = jax.random.bernoulli(
+                    lrng, e.dropout_keep_probability,
+                    (n_vertices, self_loop.shape[-1]))
+                keep = jnp.concatenate(
+                    [keep, jnp.ones((self.v_pad - n_vertices,
+                                     keep.shape[-1]), bool)])
+                keep = jax.lax.dynamic_slice_in_dim(keep, row0, rows_per)
+                self_loop = jnp.where(
+                    keep, self_loop / e.dropout_keep_probability, 0.0)
+            out = coll_f + coll_b + self_loop
+            if self.variant in ("diag", "basis_plus_diag",
+                                "basis_times_diag"):
+                out = out + lp["b"]   # bias quirk: basis/block never add it
+            if use_nonlinearity:
+                out = jax.nn.relu(out)
+            feats_local = out
+
+        if e.use_output_transform:
+            ot = params["output_transform"]
+            feats_local = jnp.dot(feats_local, ot["W"],
+                                  preferred_element_type=jnp.float32) \
+                + ot["b"]
+        return feats_local
+
+    def encode_fn(self) -> Callable:
+        """jitted shard_map'd encode: returns vertex-sharded [v_pad, d]
+        codes (row-sharded over the mesh)."""
+        spec7 = (P(EDGE_AXIS),) * 7
+
+        def wrapped(params, f_arrays, b_arrays):
+            def body(p, f, b):
+                return self._local_encode(p, f, b, rng=None,
+                                          deterministic=True)
+            return shard_map(
+                body, mesh=self.mesh,
+                in_specs=(self.param_spec(params), spec7, spec7),
+                out_specs=P(EDGE_AXIS), check_vma=False)(
+                    params, f_arrays, b_arrays)
+
+        return jax.jit(wrapped)
+
+    # -- training loss --------------------------------------------------
+    def prepare_batch(self, x: np.ndarray, y: np.ndarray):
+        """Stack a host-sampled loss batch (e.g. NegativeSampler output)
+        into per-shard slices + the decoder halo for its entities.
+
+        Returns (triples [N,T,3], labels [N,T], mask [N,T],
+                 dec_send [N,N,H], e1_ptr [N,T], e2_ptr [N,T])."""
+        n = self.n_shards
+        t_pad = _round_up(len(x), n * 8)
+        xt = np.zeros((t_pad, 3), np.int32)
+        yt = np.zeros((t_pad,), np.float32)
+        mt = np.zeros((t_pad,), np.float32)
+        xt[:len(x)] = x
+        yt[:len(y)] = y
+        mt[:len(x)] = 1.0
+        t_loc = t_pad // n
+        xt = xt.reshape(n, t_loc, 3)
+        yt = yt.reshape(n, t_loc)
+        mt = mt.reshape(n, t_loc)
+        ents = np.concatenate([xt[:, :, 0], xt[:, :, 2]], axis=1)
+        emask = np.concatenate([mt, mt], axis=1)
+        halo, ptr = build_halo(ents, emask, self.rows_per, self.n_shards,
+                               self.model.n_entities)
+        e1_ptr, e2_ptr = ptr[:, :t_loc], ptr[:, t_loc:]
+        return xt, yt, mt, halo.send_idx, e1_ptr, e2_ptr
+
+    def loss_fn(self) -> Callable:
+        """Scalar training loss (replicated) over a vertex-sharded forward
+        pass; differentiable w.r.t. the sharded params. Host-sampled
+        negatives (the reference's protocol) — device-side corruption
+        would need per-step dynamic halo lists."""
+        model = self.model
+        spec7 = (P(EDGE_AXIS),) * 7
+
+        def local_loss(params, f_arrays, b_arrays, triples, labels, mask,
+                       dec_send, e1_ptr, e2_ptr, rng):
+            codes_local = self._local_encode(params, f_arrays, b_arrays,
+                                             rng, deterministic=False)
+            triples, labels, mask = triples[0], labels[0], mask[0]
+            dec_send, e1_ptr, e2_ptr = dec_send[0], e1_ptr[0], e2_ptr[0]
+            halo = _halo_exchange(codes_local, dec_send, EDGE_AXIS)
+            e1 = halo[e1_ptr]
+            e2 = halo[e2_ptr]
+            r = params["relation_embedding"]["W_relation"][triples[:, 1]]
+            energies = model.decoder.energies(params["decoder"], e1, r, e2)
+            loss = decoders_lib.weighted_ce_loss(energies, labels, mask,
+                                                 axis_name=EDGE_AXIS)
+            loss = loss + model.decoder.regularization(
+                params["decoder"], e1, r, e2, mask, axis_name=EDGE_AXIS)
+            return loss
+
+        def wrapped(params, f_arrays, b_arrays, triples, labels, mask,
+                    dec_send, e1_ptr, e2_ptr, rng):
+            return shard_map(
+                local_loss, mesh=self.mesh,
+                in_specs=(self.param_spec(params), spec7, spec7,
+                          P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                          P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS), P()),
+                out_specs=P(), check_vma=False)(
+                    params, f_arrays, b_arrays, triples, labels, mask,
+                    dec_send, e1_ptr, e2_ptr, rng)
+
+        return wrapped
+
+    def make_train_step(self, optimizer) -> Callable:
+        """jitted (params, opt_state, graph arrays, batch, rng) ->
+        (params, opt_state, loss) with the entity table sharded."""
+        loss_fn = self.loss_fn()
+
+        @jax.jit
+        def step(params, opt_state, f_arrays, b_arrays, triples, labels,
+                 mask, dec_send, e1_ptr, e2_ptr, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, f_arrays, b_arrays, triples, labels, mask,
+                dec_send, e1_ptr, e2_ptr, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda a, u: a + u, params,
+                                            updates)
+            return params, opt_state, loss
+
+        return step

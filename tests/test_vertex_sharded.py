@@ -1,24 +1,30 @@
-"""Vertex-sharded encoder: exact parity with the single-chip encode."""
+"""Vertex-sharded encoder: exact parity with the single-chip encode,
+targeted halo exchange, block-variant support, and the sharded train step."""
 import dataclasses
 
 import jax
 import numpy as np
+import optax
 import pytest
 
 from relationprediction_tpu import config as config_lib
 from relationprediction_tpu.models import build_model
 from relationprediction_tpu.parallel import make_mesh
 from relationprediction_tpu.parallel.vertex_sharded import (
-    VertexShardedEncoder, partition_edges_by_destination)
+    VertexShardedEncoder, build_halo, halo_traffic_rows,
+    partition_edges_by_destination)
+from relationprediction_tpu.sampling import NegativeSampler
 
 
-def setup(toy_dataset):
+def setup(toy_dataset, block=False):
     ds = toy_dataset
     cfg = config_lib.load("/root/reference/settings/gcn_basis.exp")
+    enc_kw = dict(code_dimension=16, internal_dimension=16, n_bases=4)
+    if block:
+        enc_kw.update(concatenation=True)  # 4 blocks of 4x4
     cfg = dataclasses.replace(
         cfg,
-        encoder=dataclasses.replace(cfg.encoder, code_dimension=16,
-                                    internal_dimension=16, n_bases=4),
+        encoder=dataclasses.replace(cfg.encoder, **enc_kw),
         decoder=dataclasses.replace(cfg.decoder, code_dimension=16))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     return ds, build_model(cfg)
@@ -38,10 +44,37 @@ def test_partitioning_covers_all_edges(toy_dataset, rng):
         assert np.all(np.diff(f_rec[s][m]) >= 0)
 
 
-def test_vertex_sharded_matches_single_chip(toy_dataset):
-    ds, model = setup(toy_dataset)
+def test_build_halo_pointers_resolve_to_requested_rows(toy_dataset):
+    ds, _ = setup(toy_dataset)
+    rows_per, n_shards = 4, 4
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, ds.n_entities, (n_shards, 24)).astype(np.int32)
+    msk = (rng.random((n_shards, 24)) > 0.2).astype(np.float32)
+    layout, ptr = build_halo(src, msk, rows_per, n_shards, ds.n_entities)
+    # simulate the exchange with a feature table = global vertex id;
+    # buffer layout = N remote slabs of H rows, then the local slab
+    feats = np.arange(rows_per * n_shards, dtype=np.float32)
+    halo = np.zeros((n_shards, n_shards * layout.h + rows_per), np.float32)
+    for d in range(n_shards):
+        for q in range(n_shards):
+            rows = layout.send_idx[q, d]
+            halo[d, q * layout.h:(q + 1) * layout.h] = \
+                feats[q * rows_per + rows]
+        halo[d, n_shards * layout.h:] = \
+            feats[d * rows_per:(d + 1) * rows_per]
+    for d in range(n_shards):
+        got = halo[d][ptr[d]]
+        want = src[d].astype(np.float32)
+        live = msk[d] > 0
+        np.testing.assert_array_equal(got[live], want[live])
+
+
+@pytest.mark.parametrize("block", [False, True])
+@pytest.mark.parametrize("halo", ["targeted", "all_gather"])
+def test_vertex_sharded_matches_single_chip(toy_dataset, block, halo):
+    ds, model = setup(toy_dataset, block=block)
     mesh = make_mesh(4)
-    vs = VertexShardedEncoder(model, mesh)
+    vs = VertexShardedEncoder(model, mesh, halo=halo)
     params = model.init_params(jax.random.PRNGKey(0))
 
     f, b = vs.prepare(ds.train, pad_to=64)
@@ -55,12 +88,94 @@ def test_vertex_sharded_matches_single_chip(toy_dataset):
     np.testing.assert_allclose(sharded_codes, want, rtol=2e-4, atol=2e-5)
 
 
+def test_vertex_sharded_loss_and_grads_match_single_chip(toy_dataset):
+    ds, model = setup(toy_dataset, block=True)
+    mesh = make_mesh(4)
+    vs = VertexShardedEncoder(model, mesh)
+    params = model.init_params(jax.random.PRNGKey(0))
+    f, b = vs.prepare(ds.train, pad_to=64)
+    padded = vs.pad_params(params)
+
+    ns = NegativeSampler(2, ds.n_entities, np.random.default_rng(0))
+    x, y = ns.transform(ds.train)
+    xt, yt, mt, dec_send, e1p, e2p = vs.prepare_batch(x, y)
+    rng = jax.random.PRNGKey(7)
+
+    loss_fn = vs.loss_fn()
+    loss_sharded, grads_sharded = jax.value_and_grad(loss_fn)(
+        padded, f, b, xt, yt, mt, dec_send, e1p, e2p, rng)
+
+    # single-chip reference loss on the identical batch + rng
+    graph = model.make_graph(ds.train, pad_to=64)
+    t_pad = xt.reshape(-1, 3)
+    y_pad = yt.reshape(-1)
+    m_pad = mt.reshape(-1)
+    want, grads_want = jax.value_and_grad(
+        lambda p: model.loss(p, graph, t_pad, y_pad, m_pad, rng=rng,
+                             deterministic=False))(params)
+
+    np.testing.assert_allclose(float(loss_sharded), float(want),
+                               rtol=2e-4, atol=2e-5)
+    # entity-table gradient: sharded rows == single-chip rows
+    gw = np.asarray(grads_sharded["input_transform"]["W"])[:ds.n_entities]
+    np.testing.assert_allclose(
+        gw, np.asarray(grads_want["input_transform"]["W"]),
+        rtol=5e-4, atol=1e-5)
+    # a replicated leaf too (relation embeddings)
+    np.testing.assert_allclose(
+        np.asarray(grads_sharded["relation_embedding"]["W_relation"]),
+        np.asarray(grads_want["relation_embedding"]["W_relation"]),
+        rtol=5e-4, atol=1e-5)
+
+
+def test_vertex_sharded_train_step_learns(toy_dataset):
+    ds, model = setup(toy_dataset)
+    mesh = make_mesh(4)
+    vs = VertexShardedEncoder(model, mesh)
+    params = vs.pad_params(model.init_params(jax.random.PRNGKey(0)))
+    f, b = vs.prepare(ds.train, pad_to=64)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    step = vs.make_train_step(opt)
+
+    ns = NegativeSampler(2, ds.n_entities, np.random.default_rng(0))
+    losses = []
+    for i in range(12):
+        x, y = ns.transform(ds.train)
+        batch = vs.prepare_batch(x, y)
+        params, opt_state, loss = step(params, opt_state, f, b, *batch,
+                                       jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8
+
+
+def test_targeted_halo_ships_fewer_rows_than_all_gather():
+    # community-structured graph: edges stay within vertex blocks, so each
+    # shard's boundary is far smaller than the full table
+    n_shards, rows_per = 4, 32
+    V = n_shards * rows_per
+    rng = np.random.default_rng(0)
+    edges = []
+    for c in range(n_shards):
+        lo = c * rows_per
+        s = rng.integers(lo, lo + rows_per, 200)
+        o = rng.integers(lo, lo + rows_per, 200)
+        edges.append(np.stack([s, np.zeros(200, int), o], 1))
+    triples = np.concatenate(edges).astype(np.int32)
+    f, b, _ = partition_edges_by_destination(triples, V, n_shards,
+                                             pad_to=256, n_relations=1)
+    layout, _ = build_halo(f[0], f[3], rows_per, n_shards, V)
+    targeted, allgather = halo_traffic_rows(layout, rows_per, n_shards)
+    assert targeted < allgather / 2
+
+
 def test_vertex_sharded_rejects_unsupported(toy_dataset):
     ds, model = setup(toy_dataset)
     cfg = dataclasses.replace(
         model.config,
         encoder=dataclasses.replace(model.config.encoder,
-                                    concatenation=True, n_bases=4))
-    block_model = build_model(cfg)
+                                    skip_connections="Highway"))
     with pytest.raises(ValueError):
-        VertexShardedEncoder(block_model, make_mesh(4))
+        VertexShardedEncoder(build_model(cfg), make_mesh(4))
+    with pytest.raises(ValueError):
+        VertexShardedEncoder(model, make_mesh(4), halo="bogus")
