@@ -135,7 +135,6 @@ def split_by_entities(triples: np.ndarray, rng: np.random.Generator,
     """make_split_dataset.py:70-105 — move whole entities' edge sets into
     the split until it holds >= max_edges edges. Returns
     (remaining_triples, split_triples)."""
-    by_sub, by_obj = _incidence(triples)
     incident = {}
     for i in range(triples.shape[0]):
         e1, e2 = triples[i, 0], triples[i, 2]
@@ -218,19 +217,23 @@ def main() -> None:
                    dtype=object)
     rng = np.random.default_rng(args.seed)
 
+    def arg(value, default):
+        return value if value is not None else default
+
     if args.kind == "degree":
         train, valid, test = build_degree_dataset(
-            src, rng, target_edges=args.edges or 30000,
-            degree_cap=args.degree_cap or 200,
-            n_valid=args.valid or 500, n_test=args.test or 500)
+            src, rng, target_edges=arg(args.edges, 30000),
+            degree_cap=arg(args.degree_cap, 200),
+            n_valid=arg(args.valid, 500), n_test=arg(args.test, 500))
     elif args.kind == "single-label":
         train, valid, test = build_single_label_dataset(
-            src, rng, target_edges=args.edges or 500,
-            degree_cap=args.degree_cap or 500, keep_prob=args.keep_prob,
-            n_valid=args.valid or 500, n_test=args.test or 500)
+            src, rng, target_edges=arg(args.edges, 500),
+            degree_cap=arg(args.degree_cap, 500), keep_prob=args.keep_prob,
+            n_valid=arg(args.valid, 500), n_test=arg(args.test, 500))
     else:
         train, valid, test = build_split_dataset(
-            src, rng, n_valid=args.valid or 10000, n_test=args.test or 10000)
+            src, rng, n_valid=arg(args.valid, 10000),
+            n_test=arg(args.test, 10000))
 
     _write_splits(args.folder, train, valid, test)
     print(f"{args.folder}: train={train.shape[0]} valid={valid.shape[0]} "

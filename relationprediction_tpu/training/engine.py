@@ -548,13 +548,18 @@ class TrainLoop:
                             batch.graph, batch.edge_ids, batch.triples,
                             batch.labels, batch.mask, step_key)
                     pending.append((i, loss_dev))
-                elif k < self.steps_per_dispatch:
-                    # Remainder before a host boundary: run k single steps
-                    # through the (already-compiled) one-step executable.
-                    # A k-sized scan would compile a NEW executable per
-                    # distinct remainder size — each compile/cache-load
-                    # costs seconds on a tunneled backend, easily dwarfing
-                    # the steps themselves.
+                elif self.mesh is not None or k < self.steps_per_dispatch:
+                    # Mesh runs always take the single-step path: only
+                    # self._train_step is the shard_map'd executable
+                    # (steps_per_dispatch is forced to 1 for mesh, so the
+                    # k < steps_per_dispatch test alone never fires and the
+                    # scan path would silently run replicated).
+                    # Otherwise: remainder before a host boundary — run k
+                    # single steps through the (already-compiled) one-step
+                    # executable. A k-sized scan would compile a NEW
+                    # executable per distinct remainder size — each
+                    # compile/cache-load costs seconds on a tunneled
+                    # backend, easily dwarfing the steps themselves.
                     for _ in range(k):
                         i += 1
                         batch = source.next()

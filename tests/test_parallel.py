@@ -216,6 +216,30 @@ def test_trainloop_mesh_device_negatives_learns(toy_dataset):
     assert more.last_loss < first.last_loss
 
 
+def test_trainloop_mesh_invokes_sharded_step(toy_dataset, monkeypatch):
+    """Regression (round-2 advisor, engine.py): fit() must route EVERY mesh
+    step through the shard_map'd executable. The old guard
+    ``k < steps_per_dispatch`` never fired for mesh runs (steps_per_dispatch
+    is forced to 1), so the plain scan path ran the whole step replicated."""
+    from relationprediction_tpu.parallel import mesh as mesh_mod
+    from relationprediction_tpu.training import TrainLoop
+
+    calls = []
+    orig = mesh_mod.shard_batch
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mesh_mod, "shard_batch", spy)
+    cfg = _small_cfg(toy_dataset)
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, toy_dataset, seed=0, prefetch=False,
+                     log=lambda m: None, mesh=make_mesh())
+    loop.fit(max_iterations=3)
+    assert len(calls) == 3
+
+
 def test_sharded_eval_matches_single_chip(toy_dataset):
     """JittedModelView(mesh=...): edge-sharded encode + triple-sharded
     all-entity scoring must reproduce the single-chip scores and MRR."""
