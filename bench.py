@@ -115,23 +115,31 @@ def bench_layer(jax):
             return out.sum()
         return body
 
-    # Production layout: relation-bucketed + staircase scatter.
-    g_prod = build_graph_batch(edges, V, R, bucket_size=64, staircase=True)
+    # Production layout: fused v2 — gather + relational transform +
+    # one-hot MXU scatter in one kernel pass per direction
+    # (ops/staircase2.py); bf16 edge streams are the production setting.
+    g_prod = build_graph_batch(edges, V, R, staircase2=True)
+    # Round-2 layout: relation-bucketed transform + v1 staircase scatter.
+    g_v1 = build_graph_batch(edges, V, R, bucket_size=64, staircase=True)
     # Reference-style: flat edge list, per-edge weight gather, raw scatter.
     g_flat = build_graph_batch(edges, V, R, pad_to=E)
 
-    dt, c1 = timed(layer(g_prod), params, features)
-    dt_bf16, _ = timed(layer(g_prod, jnp.bfloat16), params, features)
+    dt, c1 = timed(layer(g_prod, jnp.bfloat16), params, features)
+    dt_f32, _ = timed(layer(g_prod), params, features)
+    dt_v1, _ = timed(layer(g_v1), params, features)
     dt_base, c2 = timed(layer(g_flat), params, features)
 
-    print(f"block R-GCN layer (staircase): {dt * 1e3:.2f} ms "
+    print(f"block R-GCN layer (fused v2, bf16): {dt * 1e3:.2f} ms "
           f"({E / dt / 1e6:.2f}M edges/s, compile {c1:.0f}s); "
-          f"bf16 messages: {dt_bf16 * 1e3:.2f} ms "
-          f"({E / dt_bf16 / 1e6:.2f}M edges/s); "
+          f"fused v2 f32: {dt_f32 * 1e3:.2f} ms "
+          f"({E / dt_f32 / 1e6:.2f}M edges/s); "
+          f"round-2 v1 staircase: {dt_v1 * 1e3:.2f} ms "
+          f"({E / dt_v1 / 1e6:.2f}M edges/s); "
           f"reference-style per-edge gather: {dt_base * 1e3:.2f} ms "
           f"({E / dt_base / 1e6:.2f}M edges/s, compile {c2:.0f}s)",
           file=sys.stderr)
-    return dict(edges=E, dt=dt, dt_bf16=dt_bf16, dt_base=dt_base)
+    return dict(edges=E, dt=dt, dt_f32=dt_f32, dt_v1=dt_v1,
+                dt_base=dt_base)
 
 
 def bench_train_steps(jax, modes=("binomial", "split", "shared"),
@@ -190,9 +198,9 @@ def main() -> None:
         "vs_baseline": round(layer["dt_base"] / layer["dt"], 3),
         "extra": {
             "layer_ms": round(layer["dt"] * 1e3, 3),
-            "layer_bf16_ms": round(layer["dt_bf16"] * 1e3, 3),
-            "layer_bf16_edges_per_sec": round(
-                layer["edges"] / layer["dt_bf16"], 1),
+            "layer_f32_ms": round(layer["dt_f32"] * 1e3, 3),
+            "layer_v1_staircase_ms": round(layer["dt_v1"] * 1e3, 3),
+            "vs_round2_v1": round(layer["dt_v1"] / layer["dt"], 3),
             "reference_style_layer_ms": round(layer["dt_base"] * 1e3, 3),
             "train_step": steps,
             "device": str(jax.devices()[0]),

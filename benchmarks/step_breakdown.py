@@ -1,5 +1,17 @@
 #!/usr/bin/env python
-"""Break the gcn_block train step into stages and time each on the TPU."""
+"""Break the gcn_block train step into stages and time each on the TPU.
+
+Produces the table committed in docs/ROOFLINE.md §train-step. Stages are
+timed with the in-graph fori_loop methodology (host<->device transport in
+this environment costs ~28 ms per dispatch, which would swamp ms-scale
+stages). The host pipeline is timed separately in wall-clock.
+
+--layout {sc2,v1,flat} selects the aggregation layout for the encoder:
+  sc2  — fused v2 kernel (ops/staircase2.py), the big-graph champion
+  v1   — round-2 production: relation-bucketed transform + v1 staircase
+  flat — plain segment-sum path
+"""
+import argparse
 import os
 import sys
 import time
@@ -10,19 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    import dataclasses
+    p = argparse.ArgumentParser()
+    p.add_argument("--layout", default="sc2", choices=["sc2", "v1", "flat"])
+    p.add_argument("--negative-mode", default="binomial",
+                   choices=["binomial", "split", "shared"])
+    args = p.parse_args()
 
     import jax
-    import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from relationprediction_tpu import config as config_lib
     from relationprediction_tpu.data import synthetic
+    from relationprediction_tpu.graph import build_graph_batch
     from relationprediction_tpu.models import build_model
     from relationprediction_tpu.training import BatchPipeline
     from relationprediction_tpu.training.device_sampling import (
-        device_negative_sample)
+        device_negative_entities_split, device_negative_sample)
+    from relationprediction_tpu.training.optimizers import build_optimizer
 
     ds = synthetic.like("FB15k-237", seed=0)
     cfg = config_lib.load(os.path.join(os.path.dirname(__file__), "..",
@@ -32,54 +49,83 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     pipe = BatchPipeline(model, cfg, ds, np.random.default_rng(0),
                          sampler="uniform", device_negatives=True)
-    batch = pipe.next()
+
+    t0 = time.perf_counter()
+    n_host = 10
+    for _ in range(n_host):
+        batch = pipe.next()
+    host_ms = (time.perf_counter() - t0) / n_host * 1e3
+    print(f"{'host pipeline (sample+split+layout)':40s} "
+          f"         {host_ms:8.2f} ms", flush=True)
+
+    # Rebuild the batch graph in the requested layout from its real edges.
+    g = batch.graph
+    real = np.asarray(g.mask) > 0
+    edges = np.stack([np.asarray(g.senders)[real],
+                      np.asarray(g.relations)[real],
+                      np.asarray(g.receivers)[real]], axis=1)
+    pad = g.n_padded_edges
+    if args.layout == "sc2":
+        graph = build_graph_batch(edges, cfg.entity_count,
+                                  cfg.relation_count, pad_to=pad,
+                                  staircase2=True)
+    elif args.layout == "v1":
+        graph = build_graph_batch(edges, cfg.entity_count,
+                                  cfg.relation_count, bucket_size=64,
+                                  staircase=True)
+    else:
+        graph = build_graph_batch(edges, cfg.entity_count,
+                                  cfg.relation_count, pad_to=pad)
+
     rate = cfg.training.negative_sample_rate
     V = cfg.entity_count
     N = 10
 
-    def timed(label, body, *args):
+    def timed(label, body, *bargs):
         @jax.jit
         def f(*a):
             def it(k, acc):
                 return acc + body(*a, acc)
             return jax.lax.fori_loop(0, N, it, 0.0)
         t0 = time.perf_counter()
-        float(f(*args))
+        float(f(*bargs))
         tc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(f(*args))
+        float(f(*bargs))
         dt = (time.perf_counter() - t0) / N
         print(f"{label:40s} compile {tc:6.1f}s  {dt * 1e3:8.2f} ms",
               flush=True)
+        return dt
 
     key = jax.random.PRNGKey(0)
     triples, labels, mask = device_negative_sample(
         batch.triples, batch.mask, rate, V, key)
+
+    from relationprediction_tpu.models.decoders import weighted_ce_loss
 
     def loss_from(p, enc_result, acc):
         e1 = enc_result.entity_codes[triples[:, 0]]
         r = enc_result.relation_codes[triples[:, 1]]
         e2 = enc_result.entity_codes[triples[:, 2]]
         en = model.decoder.energies(p["decoder"], e1, r, e2)
-        from relationprediction_tpu.models.decoders import weighted_ce_loss
         return weighted_ce_loss(en, labels, mask)
 
     timed("encoder fwd (2 block layers)",
           lambda p, acc: model.encode(
-              p, batch.graph, deterministic=True,
+              p, graph, deterministic=True,
               rng=key).entity_codes.sum() + acc * 0, params)
     timed("full loss fwd",
           lambda p, acc: model.loss(
-              p, batch.graph, triples, labels, mask, rng=key,
+              p, graph, triples, labels, mask, rng=key,
               deterministic=True) + acc * 0, params)
     timed("decoder-only fwd (precomputed codes)",
           lambda p, acc: loss_from(
-              p, model.encode(p, batch.graph, deterministic=True, rng=key),
+              p, model.encode(p, graph, deterministic=True, rng=key),
               acc) + acc * 0, params)
     timed("loss fwd+bwd (grads)",
           lambda p, acc: jax.tree_util.tree_reduce(
               lambda a, b: a + b.sum(),
-              jax.grad(lambda q: model.loss(q, batch.graph, triples, labels,
+              jax.grad(lambda q: model.loss(q, graph, triples, labels,
                                             mask, rng=key,
                                             deterministic=False))(p),
               0.0) + acc * 0, params)
@@ -88,8 +134,47 @@ def main():
           lambda p, acc: jax.tree_util.tree_reduce(
               lambda a, b: a + b.sum(),
               jax.grad(lambda q: model.encode(
-                  q, batch.graph, deterministic=True,
+                  q, graph, deterministic=True,
                   rng=key).entity_codes.sum())(p), 0.0) + acc * 0, params)
+
+    # optimizer update alone (Adam over the full param tree)
+    opt = build_optimizer(cfg.optimizer)
+    opt_state = opt.init(params)
+    grads = jax.grad(lambda q: model.loss(q, graph, triples, labels, mask,
+                                          rng=key, deterministic=False)
+                     )(params)
+
+    def adam_only(g_, s_, acc):
+        updates, s2 = opt.update(g_, s_, params)
+        return jax.tree_util.tree_reduce(lambda a, b: a + b.sum(), updates,
+                                         0.0) + acc * 0
+    timed("optimizer update (Adam)", adam_only, grads, opt_state)
+
+    # full train step (loss+grads+update), negative sampling on device
+    def full_step(p, s_, acc):
+        if args.negative_mode == "binomial":
+            t, y, m = device_negative_sample(batch.triples, batch.mask,
+                                             rate, V, key)
+            loss, gr = jax.value_and_grad(
+                lambda q: model.loss(q, graph, t, y, m, rng=key,
+                                     deterministic=False))(p)
+        elif args.negative_mode == "split":
+            neg_s, neg_o = device_negative_entities_split(
+                batch.triples, rate, V, key)
+            loss, gr = jax.value_and_grad(
+                lambda q: model.loss_structured(
+                    q, graph, batch.triples, batch.mask, neg_s, neg_o,
+                    rng=key, deterministic=False))(p)
+        else:
+            pool = jax.random.randint(key, (512,), 0, V, dtype=np.int32)
+            loss, gr = jax.value_and_grad(
+                lambda q: model.loss_shared_negatives(
+                    q, graph, batch.triples, batch.mask, pool, rng=key,
+                    deterministic=False))(p)
+        updates, s2 = opt.update(gr, s_, p)
+        return loss + acc * 0
+    timed(f"FULL device step [{args.negative_mode}]", full_step, params,
+          opt_state)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.staircase import StaircaseLayout, build_staircase_layout
+from .ops.staircase2 import Staircase2Pair, build_staircase2_pair
 
 
 class GraphBatch(NamedTuple):
@@ -80,6 +81,13 @@ class GraphBatch(NamedTuple):
     # the 1/degree weights folded in. None -> XLA segment_sum path.
     sc_fwd: Optional[StaircaseLayout] = None
     sc_bwd: Optional[StaircaseLayout] = None
+    # Staircase v2 fused layouts (ops/staircase2.py): gather + relational
+    # transform + scatter in one kernel pass per direction (block/basis
+    # variants). Each field carries the direction's layout plus its
+    # role-swapped twin for the custom VJP. Preferred over sc_fwd/sc_bwd
+    # when present.
+    sc2_fwd: Optional[Staircase2Pair] = None
+    sc2_bwd: Optional[Staircase2Pair] = None
 
     @property
     def n_padded_edges(self) -> int:
@@ -96,7 +104,8 @@ class GraphBatch(NamedTuple):
 # cross jit boundaries without retracing on array identity.
 _ARRAY_FIELDS = ("senders", "relations", "receivers", "mask", "fwd_norm",
                  "bwd_norm", "bucket_rel", "b_senders", "b_relations",
-                 "b_receivers", "b_mask", "b_norm", "sc_fwd", "sc_bwd")
+                 "b_receivers", "b_mask", "b_norm", "sc_fwd", "sc_bwd",
+                 "sc2_fwd", "sc2_bwd")
 _STATIC_FIELDS = ("n_vertices", "n_relations", "bucket_size", "fwd_sorted",
                   "bwd_sorted")
 
@@ -119,7 +128,11 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
                       to_device: bool = True,
                       staircase: bool = False,
                       sc_rb: int = 128, sc_chunk: int = 256,
-                      sc_shards: int = 1) -> GraphBatch:
+                      sc_shards: int = 1,
+                      staircase2: bool = False,
+                      s2_rb: int = 256, s2_chunk: int = 512,
+                      s2_k: Optional[int] = None,
+                      s2_pad_rows: Optional[bool] = None) -> GraphBatch:
     """Host-side construction of a GraphBatch from an [N, 3] (s, r, o) array.
 
     ``pad_to`` fixes the edge-array length so that repeated calls with
@@ -141,6 +154,14 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
     that depends only on (pad size, chunk, rb), so repeated builds with
     varying edge counts keep static shapes. ``sc_shards`` builds
     shard-local layouts for edge-partitioned multi-chip execution.
+
+    ``staircase2``: build the v2 FUSED layouts (ops/staircase2.py) —
+    gather + relational transform + one-hot scatter in one kernel pass per
+    direction, for the block/basis encoder variants. s2_pad_rows=True (the
+    default whenever ``pad_to`` is given) pads the grid-row count to a
+    bound that is a pure function of (pad size, rb, chunk, k), keeping
+    executables static across resampled subgraphs. Single-chip only
+    (dropped under a mesh by parallel/mesh.py).
     """
     triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
     n = triples.shape[0]
@@ -152,7 +173,12 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
         return _build_bucketed(triples, n_vertices, n_relations, pad_to,
                                normalization, bucket_size, shard_align,
                                to_device, staircase=staircase, sc_rb=sc_rb,
-                               sc_chunk=sc_chunk, sc_shards=sc_shards)
+                               sc_chunk=sc_chunk, sc_shards=sc_shards,
+                               staircase2=staircase2, s2_rb=s2_rb,
+                               s2_chunk=s2_chunk, s2_k=s2_k,
+                               s2_pad_rows=s2_pad_rows
+                               if s2_pad_rows is not None
+                               else pad_to is not None)
     if sort_directions is None:
         sort_directions = False  # explicit opt-in (RGCNModel.make_graph)
 
@@ -192,6 +218,16 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
             senders, receivers, fwd, bwd, n_vertices, sc_rb, sc_chunk,
             sc_shards, to_device)
 
+    sc2_fwd = sc2_bwd = None
+    if staircase2:
+        if normalization != "global":
+            raise ValueError("staircase2 layouts require 'global' "
+                             "normalization")
+        sc2_fwd, sc2_bwd = _staircase2_pairs(
+            senders, relations, receivers, fwd, bwd, n_vertices, s2_rb,
+            s2_chunk, s2_k, s2_pad_rows if s2_pad_rows is not None
+            else pad_to is not None, to_device)
+
     dev = jnp.asarray if to_device else (lambda x: x)
     b_arrays = {}
     bwd_sorted = False
@@ -220,6 +256,7 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
         fwd_sorted=bool(sort_directions),
         bwd_sorted=bwd_sorted,
         sc_fwd=sc_fwd, sc_bwd=sc_bwd,
+        sc2_fwd=sc2_fwd, sc2_bwd=sc2_bwd,
         **b_arrays,
     )
 
@@ -240,6 +277,41 @@ def _staircase_layouts(senders, receivers, fwd_norm, bwd_norm, n_vertices,
     return sc_fwd, sc_bwd
 
 
+def _staircase2_pairs(senders, relations, receivers, fwd_norm, bwd_norm,
+                      n_vertices, s2_rb, s2_chunk, s2_k, pad_rows,
+                      to_device):
+    """Fused v2 layout pairs for both directions.
+
+    When pad_rows is set, the grid-row count is padded to a bound that is
+    a pure function of (edge pad size, n_vertices, rb, chunk, k) — and k
+    itself is fixed from the pad size — so repeated builds over resampled
+    subgraphs produce identical static shapes (one executable).
+    """
+    e_pad = senders.shape[0]
+    n_blocks = -(-n_vertices // s2_rb)
+    if s2_k is None:
+        if pad_rows:
+            # pure function of the PAD size, not the realized edge count
+            s2_k = int(np.clip(-(-e_pad // (s2_chunk * n_blocks)), 1, 16))
+        else:
+            s2_k = 0  # auto per layout (data-dependent is fine unpadded)
+    k_arg = s2_k if s2_k > 0 else None
+    bound = None
+    if pad_rows:
+        # rows_b <= padded_b/(k*chunk) + 1 per non-empty block, and
+        # sum(padded_b) <= e_pad with group == 1.
+        bound = n_blocks + -(-e_pad // (s2_k * s2_chunk))
+    sc2_fwd = build_staircase2_pair(
+        senders, relations, receivers, fwd_norm, n_vertices,
+        direction="forward", rb=s2_rb, chunk=s2_chunk, k=k_arg, group=1,
+        pad_rows_to=bound, twin_pad_rows_to=bound, to_device=to_device)
+    sc2_bwd = build_staircase2_pair(
+        senders, relations, receivers, bwd_norm, n_vertices,
+        direction="backward", rb=s2_rb, chunk=s2_chunk, k=k_arg, group=1,
+        pad_rows_to=bound, twin_pad_rows_to=bound, to_device=to_device)
+    return sc2_fwd, sc2_bwd
+
+
 def bucketed_size(counts: np.ndarray, bucket_size: int) -> int:
     """Total edge slots after padding each relation's count up to a
     multiple of bucket_size."""
@@ -252,7 +324,10 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
                     bucket_size: int, shard_align: int,
                     to_device: bool = True, staircase: bool = False,
                     sc_rb: int = 128, sc_chunk: int = 256,
-                    sc_shards: int = 1) -> GraphBatch:
+                    sc_shards: int = 1, staircase2: bool = False,
+                    s2_rb: int = 256, s2_chunk: int = 512,
+                    s2_k: Optional[int] = None,
+                    s2_pad_rows: bool = False) -> GraphBatch:
     n = triples.shape[0]
     counts = np.bincount(triples[:, 1], minlength=n_relations)
     padded_counts = -(-counts // bucket_size) * bucket_size  # 0 stays 0
@@ -311,6 +386,15 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
             senders, receivers, fwd, bwd, n_vertices, sc_rb, sc_chunk,
             sc_shards, to_device)
 
+    sc2_fwd = sc2_bwd = None
+    if staircase2:
+        if normalization != "global":
+            raise ValueError("staircase2 layouts require 'global' "
+                             "normalization")
+        sc2_fwd, sc2_bwd = _staircase2_pairs(
+            senders, relations, receivers, fwd, bwd, n_vertices, s2_rb,
+            s2_chunk, s2_k, s2_pad_rows, to_device)
+
     dev = jnp.asarray if to_device else (lambda x: x)
     return GraphBatch(
         senders=dev(senders),
@@ -324,6 +408,7 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
         bucket_rel=dev(bucket_rel),
         bucket_size=int(bucket_size),
         sc_fwd=sc_fwd, sc_bwd=sc_bwd,
+        sc2_fwd=sc2_fwd, sc2_bwd=sc2_bwd,
     )
 
 

@@ -202,39 +202,68 @@ class RGCNModel:
             return 64
         return None
 
+    @property
+    def preferred_staircase2(self) -> bool:
+        """Whether the fused v2 aggregation kernel (ops/staircase2.py)
+        applies: block/basis GCN variants with dense layer input (i.e. an
+        input transform precedes the first GCN layer)."""
+        e = self.config.encoder
+        return (self.is_gcn and not self.has_state
+                and e.use_input_transform
+                and e.gcn_variant in ("block", "basis"))
+
     def make_graph(self, triples, pad_to: Optional[int] = None,
                    shard_align: int = 8, to_device: bool = True,
                    staircase: Optional[bool] = None,
-                   sc_shards: int = 1) -> GraphBatch:
+                   sc_shards: int = 1,
+                   staircase2: Optional[bool] = None) -> GraphBatch:
         """Build a GraphBatch in this model's preferred layout.
 
         For bucketed layouts, pass the same ``pad_to`` upper bound every
         step (e.g. split_size + R * (bucket_size - 1)) to keep shapes
         static across resampled subgraphs.
 
-        staircase: build the per-direction staircase scatter layouts (the
-        production TPU aggregation, ops/staircase.py). Default: on for all
-        GCN variants except the stored-message one (which aggregates with
-        'none' normalization).
+        staircase2: build the FUSED v2 layouts (ops/staircase2.py) —
+        gather + relational transform + scatter in one kernel pass per
+        direction. Default: on for single-chip block/basis models with an
+        input transform (``preferred_staircase2``); the v1 layouts are
+        skipped in that case (they'd be dead weight).
+
+        staircase: build the per-direction v1 staircase scatter layouts
+        (ops/staircase.py). Default: on for GCN variants not covered by
+        v2 (and always under a multi-chip layout, sc_shards > 1, which v2
+        does not support yet).
         """
         from ..graph import build_graph_batch
+        if staircase2 is None:
+            staircase2 = self.preferred_staircase2 and sc_shards == 1
         bucket = self.preferred_bucket_size
+        if staircase2:
+            # the fused kernel needs no relation bucketing; the plain
+            # layout keeps the pad size smaller
+            bucket = None
         if staircase is None:
-            staircase = self.is_gcn and not self.has_state
+            staircase = self.is_gcn and not self.has_state \
+                and not staircase2
         # The stored variant indexes message caches by batch edge id, so
         # its graphs must preserve the input edge order.
-        sort_directions = not (self.has_state or bucket or staircase)
+        sort_directions = not (self.has_state or bucket or staircase
+                               or staircase2)
         return build_graph_batch(
             triples, self.n_entities, self.n_relations, pad_to=pad_to,
             bucket_size=bucket, shard_align=shard_align,
             sort_directions=sort_directions, to_device=to_device,
-            staircase=staircase, sc_shards=sc_shards)
+            staircase=staircase, sc_shards=sc_shards,
+            staircase2=staircase2)
 
-    def graph_pad_bound(self, n_edges: int) -> int:
+    def graph_pad_bound(self, n_edges: int, sharded: bool = False) -> int:
         """A fixed pad size that accommodates any n_edges-edge subgraph in
-        the preferred layout (worst-case relation-padding included)."""
+        the preferred layout (worst-case relation-padding included).
+        ``sharded``: bound for a multi-chip layout (which keeps relation
+        bucketing — the fused v2 layout is single-chip only)."""
         b = self.preferred_bucket_size
-        if b is None:
+        if b is None or (self.preferred_staircase2 and not sharded):
+            # plain / fused-v2 layouts carry no relation padding
             return max(-(-n_edges // 128) * 128, 128)
         return n_edges + self.n_relations * (b - 1)
 

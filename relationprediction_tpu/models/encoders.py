@@ -18,6 +18,7 @@ from .. import graph as graph_lib
 from ..graph import GraphBatch
 from ..ops import relblock
 from ..ops import staircase as staircase_lib
+from ..ops import staircase2 as staircase2_lib
 from . import initializers as init
 
 
@@ -263,6 +264,37 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
     """
     if features is not None:
         features = jnp.asarray(features)
+
+    # Fully-fused v2 path (ops/staircase2.py): gather + relational
+    # transform + one-hot scatter in ONE kernel pass per direction; the
+    # [E, d] message stream never exists in HBM. Available for the
+    # block/basis variants with dense input.
+    if graph.sc2_fwd is not None and features is not None \
+            and axis_name is None and variant in ("block", "basis"):
+        interp = staircase2_lib.default_interpret()
+        if variant == "block":
+            collected_f = staircase2_lib.block_direction(
+                features, params["W_forward"], graph.sc2_fwd, n_bases,
+                n_vertices, interp, agg_dtype)
+            collected_b = staircase2_lib.block_direction(
+                features, params["W_backward"], graph.sc2_bwd, n_bases,
+                n_vertices, interp, agg_dtype)
+        else:
+            wf = params["W_forward"].reshape(
+                params["W_forward"].shape[0], -1)
+            wb = params["W_backward"].reshape(
+                params["W_backward"].shape[0], -1)
+            collected_f = staircase2_lib.basis_direction(
+                features, wf, params["C_forward"], graph.sc2_fwd, n_bases,
+                n_vertices, interp, agg_dtype)
+            collected_b = staircase2_lib.basis_direction(
+                features, wb, params["C_backward"], graph.sc2_bwd, n_bases,
+                n_vertices, interp, agg_dtype)
+        return _combine_with_self_loop(
+            params, variant, features, collected_f + collected_b,
+            use_nonlinearity=use_nonlinearity, dropout_keep=dropout_keep,
+            deterministic=deterministic, rng=rng)
+
     # The two directions may carry independently-ordered edge copies so
     # each scatter sees sorted target indices (graph.py layout notes).
     b_senders = graph.b_senders if graph.b_senders is not None \
@@ -309,7 +341,16 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
     combined = collected_f + collected_b
     if axis_name is not None:
         combined = jax.lax.psum(combined, axis_name)
+    return _combine_with_self_loop(
+        params, variant, features, combined,
+        use_nonlinearity=use_nonlinearity, dropout_keep=dropout_keep,
+        deterministic=deterministic, rng=rng)
 
+
+def _combine_with_self_loop(params, variant, features, combined, *,
+                            use_nonlinearity, dropout_keep, deterministic,
+                            rng):
+    """Self-loop + bias + nonlinearity tail (``message_gcn.py:49-79``)."""
     if variant == "only_bias":
         # No self-loop (``gcn_only_bias.py:34-35``).
         out = combined

@@ -60,11 +60,16 @@ def _mesh_compatible(graph: Optional[GraphBatch], n_devices: int
                      ) -> Optional[GraphBatch]:
     """Drop staircase layouts that were not built for this mesh size.
 
-    A staircase layout is only shardable when it was built with
+    A v1 staircase layout is only shardable when it was built with
     ``sc_shards == n_devices`` (each device's chunk list must reference its
     own contiguous edge shard); otherwise fall back to the segment-sum
-    aggregation, which is exact under edge sharding."""
-    if graph is None or graph.sc_fwd is None:
+    aggregation, which is exact under edge sharding. The fused v2 layouts
+    (sc2_*) are single-chip only and are always dropped here."""
+    if graph is None:
+        return graph
+    if graph.sc2_fwd is not None:
+        graph = graph._replace(sc2_fwd=None, sc2_bwd=None)
+    if graph.sc_fwd is None:
         return graph
     if graph.sc_fwd.shards == n_devices:
         return graph

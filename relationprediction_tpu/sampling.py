@@ -60,11 +60,19 @@ class NegativeSampler:
             self.known_objects.setdefault(int(s), set()).add((int(r), int(o)))
             self.known_subjects.setdefault(int(o), set()).add((int(r), int(s)))
 
-    def transform_exclusive(self, triples: np.ndarray
+    def transform_exclusive(self, triples: np.ndarray, *,
+                            max_retries: int = 100
                             ) -> Tuple[np.ndarray, np.ndarray]:
         """Filtered variant: resample any corruption that collides with a
         known positive (``auxilliaries.py:50-73``; unused by the shipped
-        configs but part of the API surface)."""
+        configs but part of the API surface).
+
+        Unlike the reference's unbounded ``while`` loop, each slot retries
+        at most ``max_retries`` times: if an entity's known set covers the
+        whole entity space (where the reference would spin forever), the
+        last draw is kept — a known positive mislabeled negative, which is
+        exactly the behavior of the unfiltered ``transform`` for that slot.
+        """
         out, labels = self.transform(triples)
         n = triples.shape[0]
         for i in range(n, out.shape[0]):
@@ -72,11 +80,15 @@ class NegativeSampler:
             base = out[i % n]  # original positive for this slot
             if o != base[2]:  # object was corrupted
                 known = self.known_objects.get(int(s), set())
-                while (int(r), int(out[i, 2])) in known:
+                for _ in range(max_retries):
+                    if (int(r), int(out[i, 2])) not in known:
+                        break
                     out[i, 2] = self.rng.integers(0, self.n_entities)
             else:
                 known = self.known_subjects.get(int(o), set())
-                while (int(r), int(out[i, 0])) in known:
+                for _ in range(max_retries):
+                    if (int(r), int(out[i, 0])) not in known:
+                        break
                     out[i, 0] = self.rng.integers(0, self.n_entities)
         return out, labels
 

@@ -48,22 +48,25 @@ class CutoffEnsemble:
         self.model_1 = model_1
         self.model_2 = model_2
 
-    def combine(self) -> Iterator[float]:
-        left_in = read_degree_file(self.model_1 + "/degrees.in")
-        left_out = read_degree_file(self.model_1 + "/degrees.out")
-        right_in = read_degree_file(self.model_2 + "/degrees.in")
-        right_out = read_degree_file(self.model_2 + "/degrees.out")
-        for li, lo, ri, ro in zip(left_in, left_out, right_in, right_out):
-            deg = li[0] + lo[0]
-            if deg < self.cutoff:
-                yield li[1]
-                yield lo[1]
-            else:
-                yield ri[1]
-                yield ro[1]
+    def combine(self) -> np.ndarray:
+        """[2N] per-triple MRRs, interleaved (in, out) per triple, each
+        routed by the triple's total degree."""
+        def load(model):
+            # columns: degree, per-triple mrr — for both prediction sides
+            d_in = np.asarray(read_degree_file(model + "/degrees.in"))
+            d_out = np.asarray(read_degree_file(model + "/degrees.out"))
+            return d_in, d_out
+
+        (a_in, a_out), (b_in, b_out) = load(self.model_1), load(self.model_2)
+        total_degree = a_in[:, 0] + a_out[:, 0]
+        use_low = total_degree < self.cutoff
+        # stack (in, out) mrr columns -> [N, 2], route whole rows, flatten
+        low = np.stack([a_in[:, 1], a_out[:, 1]], axis=1)
+        high = np.stack([b_in[:, 1], b_out[:, 1]], axis=1)
+        return np.where(use_low[:, None], low, high).reshape(-1)
 
     def compute_ranks(self) -> None:
-        self.mrrs = np.array(list(self.combine()))
+        self.mrrs = self.combine()
 
     def combined_mrr(self) -> float:
         return float(np.mean(self.mrrs))

@@ -104,7 +104,9 @@ class BatchPipeline:
             self.graph_batch_size = min(gbs, n_train)
             self.split_size = int(t.graph_split_size * self.graph_batch_size)
             self.graph_pad = _round_up(
-                model.graph_pad_bound(self.split_size), align)
+                model.graph_pad_bound(self.split_size,
+                                      sharded=self.shard_multiple > 1),
+                align)
             self.adj = AdjacencyIndex(self.train, config.entity_count)
             self.n_loss_triples = self.graph_batch_size * (
                 t.negative_sample_rate + 1)

@@ -94,7 +94,10 @@ def test_model_make_graph_uses_buckets(toy_dataset):
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
     assert model.preferred_bucket_size == 64
-    g = model.make_graph(ds.train)
+    # default now prefers the fused v2 layout (no buckets needed)...
+    assert model.make_graph(ds.train).sc2_fwd is not None
+    # ...but the bucketed layout remains the fallback (mesh / opt-out)
+    g = model.make_graph(ds.train, staircase2=False)
     assert g.bucket_rel is not None
     # loss runs through the bucketed path
     params = model.init_params(jax.random.PRNGKey(0))

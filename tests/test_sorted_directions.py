@@ -76,7 +76,7 @@ def test_sorted_sharded_step_matches(toy_dataset):
     # direction-sorted (b_*) layout, so build it explicitly.
     graph = model.make_graph(ds.train,
                              pad_to=batch.graph.n_padded_edges,
-                             staircase=False)
+                             staircase=False, staircase2=False)
     assert graph.fwd_sorted
     batch = batch._replace(graph=graph)
 

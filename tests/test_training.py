@@ -188,3 +188,34 @@ def test_resume_bitexact_with_prefetch(toy_dataset, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         res_full.params, res_resumed.params)
+
+
+def test_checkpoint_versioned_format(tmp_path):
+    """Checkpoints carry a magic + schema version + checksum; corrupt or
+    foreign files fail loudly instead of mis-restoring."""
+    import jax
+    import pytest
+
+    from relationprediction_tpu.training import checkpoint as ckpt
+
+    path = str(tmp_path / "run")
+    fname = ckpt.save(path, params={"w": np.ones(3)}, opt_state={},
+                      step=7, rng_key=jax.random.PRNGKey(0))
+    state = ckpt.restore_latest(path)
+    assert state["step"] == 7
+    assert state["schema_version"] == 1
+    np.testing.assert_allclose(state["params"]["w"], 1.0)
+
+    # corrupt payload -> checksum failure
+    blob = bytearray(open(fname, "rb").read())
+    blob[-1] ^= 0xFF
+    bad = tmp_path / "bad.ckpt"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        ckpt.restore(str(bad))
+
+    # foreign file -> magic failure
+    other = tmp_path / "other.ckpt"
+    other.write_bytes(b"not a checkpoint")
+    with pytest.raises(ValueError, match="magic"):
+        ckpt.restore(str(other))
