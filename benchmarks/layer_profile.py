@@ -9,9 +9,13 @@ basis for docs/ROOFLINE.md.
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_ITERS = 20
 
@@ -152,6 +156,85 @@ def main():
         gb)
 
     print({k: round(v * 1e3, 3) for k, v in results.items()})
+
+    # ------------------------------------------------------------------
+    # Fused v2 path (ops/staircase2.py) stage breakdown
+    # ------------------------------------------------------------------
+    from relationprediction_tpu.ops import staircase2 as s2
+
+    print("\n--- fused v2 (staircase2) stages, block mode, bf16 ---")
+    g2 = build_graph_batch(edges, V, R, staircase2=True)
+    pair = g2.sc2_fwd
+    layout = pair.fwd
+    S = layout.n_slots
+    n_rows = layout.n_rows
+    rb, d = layout.rb, D
+    print(f"slots S={S} (E={E}, pad {S / E - 1:+.1%}), grid rows={n_rows}, "
+          f"blocks={layout.n_blocks}, k={layout.k}, chunk={layout.chunk}, "
+          f"direct={layout.direct}")
+
+    blocks_j = s2.blocks_to_jmajor(blocks).astype(jnp.bfloat16)
+    feats_j = s2.to_jmajor(feats, B)
+    x_sc = (jnp.take(feats_j, layout.sources, axis=0)
+            * layout.weights[:, None]).astype(jnp.bfloat16)
+    slot_rel = layout.slot_rel()
+
+    # a. j-major lane permute of the vertex table
+    gb = (V * D * 4 * 2) / 1e9
+    rep("v2.a jmajor permute [V,500]",
+        timed(lambda f, acc: s2.to_jmajor(f + acc, B).sum() * 0, feats), gb)
+
+    # b. slot gather + weight + bf16 cast: [S,500] bf16 out of [V,500] f32
+    def gather_cast(f, acc):
+        x = (jnp.take(s2.to_jmajor(f + acc, B), layout.sources, axis=0)
+             * layout.weights[:, None]).astype(jnp.bfloat16)
+        return x.sum().astype(jnp.float32) * 0
+    gb = (S * D * (4 + 2)) / 1e9  # read f32 rows (cache-ideal), write bf16
+    rep("v2.b slot gather+w+cast -> [S,500]bf16", timed(gather_cast, feats),
+        gb)
+
+    # c. kernel only: fused transform + one-hot scatter on pre-gathered
+    #    bf16 slots (the Pallas pass itself)
+    def kernel_only(x, acc):
+        out = s2._call_block(x + acc.astype(x.dtype), blocks_j, slot_rel,
+                             layout, False)
+        return out.sum() * 0
+    gb = (S * D * 2 + n_rows * rb * D * 4) / 1e9
+    rep("v2.c fused kernel [S,500]->[rows*256,500]",
+        timed(kernel_only, x_sc), gb)
+
+    # d. finishing segment-sum over grid rows
+    out_rows = jnp.zeros((n_rows * rb, D), jnp.float32)
+    def finish(o, acc):
+        return s2._finish(o + acc, layout, V).sum() * 0
+    gb = (n_rows * rb * D * 4 + V * D * 4) / 1e9
+    rep("v2.d finish rows->[V,500]", timed(finish, out_rows), gb)
+
+    # e. one full fused direction (a+b+c+d composed, incl. from_jmajor)
+    def direction(f, w, acc):
+        out = s2.block_direction(f + acc, w, pair, B, V, False, jnp.bfloat16)
+        return out.sum() * 0
+    gb = (V * D * 4 * 2 + S * D * (4 + 2) + S * D * 2
+          + n_rows * rb * D * 4 * 2 + V * D * 4 * 2) / 1e9
+    rep("v2.e full fused direction", timed(direction, feats,
+                                           jnp.asarray(blocks)), gb)
+
+    # f. full fused layer (both directions + self-loop, production path)
+    def layer2(p, f, acc):
+        out = enc.apply_gcn_layer(
+            p, "block", g2, f + acc, n_bases=B, use_nonlinearity=True,
+            dropout_keep=1.0, deterministic=True, rng=None, n_vertices=V,
+            agg_dtype=jnp.bfloat16)
+        return out.sum() * 0
+    gb = 2 * (V * D * 4 * 4 + S * D * (4 + 2 + 2)
+              + n_rows * rb * D * 4 * 2) / 1e9
+    rep("v2.f FULL fused layer (prod, bf16)", timed(layer2, params, feats),
+        gb)
+
+    edges_per_s = E / results["v2.f FULL fused layer (prod, bf16)"]
+    print(f"\nfused layer edges/s: {edges_per_s / 1e6:.2f}M")
+    print({k: round(v * 1e3, 3) for k, v in results.items()
+           if k.startswith("v2.")})
 
 
 if __name__ == "__main__":
