@@ -157,7 +157,14 @@ def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
 def shard_batch(mesh: Mesh, graph: Optional[GraphBatch], triples, labels,
                 mask):
     """Place host batch arrays with the step's expected shardings (device
-    put once, avoiding implicit transfers per step)."""
+    put once, avoiding implicit transfers per step).
+
+    When the mesh spans processes (multi-host), every process holds the
+    same host-global batch and only its local rows are transferred
+    (parallel/distributed.py)."""
+    if jax.process_count() > 1:
+        from .distributed import global_shard_batch
+        return global_shard_batch(mesh, graph, triples, labels, mask)
     data_sharding = NamedSharding(mesh, P(EDGE_AXIS))
     rep_graph = None
     if graph is not None:
@@ -178,6 +185,9 @@ def replicate(mesh: Mesh, tree):
     jax.device_put returns the same buffer, and donating that buffer to a
     train step would silently delete the caller's copy.
     """
+    if jax.process_count() > 1:
+        from .distributed import fetch_replicated, global_replicate
+        return global_replicate(mesh, fetch_replicated(tree))
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x), sharding), tree)

@@ -497,6 +497,10 @@ class TrainLoop:
         def process_pending():
             nonlocal cumulative_loss, loss
             for start_it, loss_dev in pending:
+                if isinstance(loss_dev, jax.Array) \
+                        and not loss_dev.is_fully_addressable:
+                    # Multi-host mesh: read the local replica.
+                    loss_dev = loss_dev.addressable_data(0)
                 values = np.atleast_1d(np.asarray(loss_dev))
                 for off, v in enumerate(values):
                     it_ = start_it + off
@@ -614,14 +618,20 @@ class TrainLoop:
 
                 # ModelSaver (shared/algorithms.py:61-79); skipped when the
                 # stopper fired, matching the decorator order.
-                if checkpoint_path and save_every and i % save_every == 0:
+                if checkpoint_path and save_every and i % save_every == 0 \
+                        and jax.process_index() == 0:
                     process_pending()
                     if isinstance(source, _Prefetcher):
                         pipe_states, rr = source.states()
                     else:
                         pipe_states, rr = [self.pipeline.state()], 0
-                    ckpt_lib.save(checkpoint_path, params=params,
-                                  opt_state=opt_state, step=i,
+                    save_params, save_opt = params, opt_state
+                    if jax.process_count() > 1:
+                        from ..parallel.distributed import fetch_replicated
+                        save_params = fetch_replicated(params)
+                        save_opt = fetch_replicated(opt_state)
+                    ckpt_lib.save(checkpoint_path, params=save_params,
+                                  opt_state=save_opt, step=i,
                                   rng_key=self.rng_key,
                                   host_rng_state=self.host_rng.bit_generator.state,
                                   extra={"pipeline_states": pipe_states,

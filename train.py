@@ -59,9 +59,29 @@ def main() -> None:
                         help="Edge-partitioned multi-chip training over the "
                              "first N devices (jax.sharding.Mesh; training "
                              "step AND evaluation run sharded).")
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="Multi-host: jax.distributed coordinator "
+                             "address (process 0 binds it).")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--local-devices", type=int, default=None,
+                        help="Virtual device count per process (CPU "
+                             "simulation of a multi-host slice).")
     args = parser.parse_args()
 
-    if args.cpu:
+    multihost = args.coordinator is not None or args.num_processes is not None
+    if multihost:
+        from relationprediction_tpu.parallel.distributed import init_runtime
+        init_runtime(coordinator_address=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id,
+                     local_device_count=args.local_devices,
+                     platform="cpu" if args.cpu else None)
+        if jax.process_index() != 0:
+            # Non-coordinators stay silent; device work is identical.
+            import builtins
+            builtins.print = lambda *a, **k: None
+    elif args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     cfg = config_lib.load(args.settings)
@@ -82,14 +102,23 @@ def main() -> None:
 
     mesh = None
     if args.mesh is not None:
-        from relationprediction_tpu.parallel import make_mesh
         if args.mesh > len(jax.devices()):
             parser.error(f"--mesh {args.mesh} but only {len(jax.devices())} "
                          "devices are attached")
-        mesh = make_mesh(args.mesh)
-        print(f"Mesh: {mesh.devices.size} devices, edge-partitioned")
+        if multihost:
+            from relationprediction_tpu.parallel.distributed import (
+                make_global_mesh)
+            mesh = make_global_mesh(args.mesh)
+        else:
+            from relationprediction_tpu.parallel import make_mesh
+            mesh = make_mesh(args.mesh)
+        print(f"Mesh: {mesh.devices.size} devices over "
+              f"{jax.process_count()} process(es), edge-partitioned")
     n_shards = mesh.devices.size if mesh is not None else 1
-    view = JittedModelView(model, mesh=mesh)
+    # Evaluation under multi-host runs process-locally (every process
+    # computes the identical scores from the replicated params), so the
+    # model view is built without the process-spanning mesh.
+    view = JittedModelView(model, mesh=None if multihost else mesh)
 
     # Test-mode graph = the full training graph (``train.py:255-256``).
     eval_graph = None
@@ -112,6 +141,10 @@ def main() -> None:
     def score_validation_data(params) -> float:
         """Early-stopping score: validation filtered metric; also prints the
         test metrics each check (``train.py:110-126``)."""
+        if multihost:
+            from relationprediction_tpu.parallel.distributed import (
+                fetch_replicated)
+            params = fetch_replicated(params)
         scorer.set_params(params)
         summary = scorer.compute_scores(ds.valid)
         early_stopping = summary.results["Filtered"][metric_key]
@@ -136,7 +169,12 @@ def main() -> None:
 
     print(f"Training done: {result.iterations} iterations in {wall:.1f}s "
           f"(early stop: {result.stopped_early})")
-    scorer.set_params(result.params)
+    final_params = result.params
+    if multihost:
+        from relationprediction_tpu.parallel.distributed import (
+            fetch_replicated)
+        final_params = fetch_replicated(final_params)
+    scorer.set_params(final_params)
     print("Final test metrics:")
     scorer.compute_scores(ds.test).pretty_print()
 
