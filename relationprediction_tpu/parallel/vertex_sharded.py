@@ -40,6 +40,7 @@ distribution, different stream.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -137,12 +138,19 @@ class HaloLayout(NamedTuple):
 
 
 def build_halo(sources_per_shard, mask_per_shard, rows_per: int,
-               n_shards: int, n_vertices: int):
+               n_shards: int, n_vertices: int,
+               h_budget: Optional[int] = None):
     """Build a targeted halo layout.
 
     sources_per_shard: [N, K] int32 global vertex ids each consumer shard
     reads (its edges' source endpoints, or its loss triples' entities);
     entries with mask 0 (padding) are ignored and pointed at slot 0.
+
+    h_budget: static per-(owner, consumer) row budget. When given, the
+    layout is padded to exactly this budget so resampled subgraphs share
+    ONE compiled executable; a subgraph whose boundary exceeds it raises
+    (callers size the budget from probe samples, see
+    ``VertexShardedEncoder.probe_budgets``).
 
     Returns (HaloLayout, ptr [N, K] int32) where ptr indexes the
     flattened [N*H, D] post-exchange buffer.
@@ -168,6 +176,12 @@ def build_halo(sources_per_shard, mask_per_shard, rows_per: int,
             r = np.unique(live[owners == q] % rows_per).astype(np.int64)
             rows[d][q] = r
             h = max(h, _round_up(len(r), 8))
+    if h_budget is not None:
+        if h > h_budget:
+            raise ValueError(
+                f"halo budget {h_budget} rows < required {h}; raise the "
+                "budget (probe_budgets slack) or resample the subgraph")
+        h = h_budget
 
     send_idx = np.zeros((n_shards, n_shards, h), np.int32)
     for d in range(n_shards):
@@ -207,10 +221,19 @@ def _halo_exchange(feats_local: jax.Array, send_idx: jax.Array,
                    axis: str) -> jax.Array:
     """[rows_per, D] local rows -> [N*H + rows_per, D]: requested remote
     rows followed by the local slab (own-shard reads bypass the wire)."""
+    return jnp.concatenate(
+        [_halo_exchange_remote(feats_local, send_idx, axis), feats_local])
+
+
+def _halo_exchange_remote(feats_local: jax.Array, send_idx: jax.Array,
+                          axis: str) -> jax.Array:
+    """The wire half of the halo exchange only: [N*H, D] remote rows
+    (slab q holds the rows this shard requested from owner q). Used by the
+    overlapped path, which consumes the local slab separately so local
+    work carries no data dependence on the collective."""
     buf = feats_local[send_idx]                      # [N, H, D]
     buf = jax.lax.all_to_all(buf, axis, 0, 0)        # slab q <- owner q
-    return jnp.concatenate(
-        [buf.reshape(-1, feats_local.shape[-1]), feats_local])
+    return buf.reshape(-1, feats_local.shape[-1])
 
 
 _SUPPORTED_VARIANTS = ("basis", "block", "diag", "basis_plus_diag",
@@ -225,7 +248,8 @@ class VertexShardedEncoder:
     """
 
     def __init__(self, model: RGCNModel, mesh: Mesh,
-                 halo: str = "targeted"):
+                 halo: str = "targeted", overlap: bool = False,
+                 dropout_mode: str = "per_shard"):
         e = model.config.encoder
         variant = "diag" if e.name == "gcn_diag" else e.gcn_variant
         dense_input = e.name == "gcn_diag" or e.use_input_transform
@@ -238,20 +262,46 @@ class VertexShardedEncoder:
                 f"{_SUPPORTED_VARIANTS} variants without skip connections")
         if halo not in ("targeted", "all_gather"):
             raise ValueError(f"unknown halo mode {halo!r}")
+        if dropout_mode not in ("per_shard", "full_parity"):
+            raise ValueError(f"unknown dropout_mode {dropout_mode!r}")
+        if overlap and halo != "targeted":
+            raise ValueError("overlap requires halo='targeted'")
         self.model = model
         self.mesh = mesh
         self.halo = halo
+        # overlap: split each direction's messages into a local-source half
+        # (computable from the shard's own rows, no communication) and a
+        # remote-source half that consumes the halo exchange. The local
+        # half + self-loop matmul carry no data dependence on the
+        # all_to_all, so XLA's latency-hiding scheduler can run them while
+        # the boundary rows are in flight (BASELINE.json: exchange
+        # "overlapped with local aggregation"). Costs a second pass of the
+        # per-edge transform, so it pays off when the exchange, not the
+        # transform, is the bottleneck. Numerics identical either way
+        # (tests/test_vertex_sharded.py).
+        self.overlap = overlap
+        # dropout_mode: 'per_shard' draws the train-mode self-loop mask
+        # over the shard's OWN [rows_per, d] rows (rng folded with the
+        # shard index) — the beyond-HBM-scalable default. 'full_parity'
+        # draws the single-chip [V, d] mask and slices, reproducing the
+        # single-chip RNG stream bit-for-bit (parity tests).
+        self.dropout_mode = dropout_mode
         self.variant = variant
         self.n_shards = int(mesh.devices.size)
         self.rows_per = -(-model.n_entities // self.n_shards)
         self.v_pad = self.rows_per * self.n_shards
 
     # -- host-side layouts -------------------------------------------------
-    def prepare(self, triples: np.ndarray, pad_to: int):
+    def prepare(self, triples: np.ndarray, pad_to: int,
+                halo_budget: Optional[int] = None):
         """Destination-partitioned edge arrays + per-direction halo
         layouts. Returns (f_arrays, b_arrays) where each is the 5-tuple
         (senders, relations, receivers, mask, norm) stacked [N, E_pad],
-        plus per-direction (send_idx [N,N,H], src_ptr [N,E_pad])."""
+        plus per-direction (send_idx [N,N,H], src_ptr [N,E_pad]).
+
+        halo_budget: fixed per-(owner, consumer) halo row count — with a
+        fixed pad_to this makes every resampled subgraph's layout
+        shape-identical, so the jitted step compiles ONCE."""
         f, b, _ = partition_edges_by_destination(
             triples, self.model.n_entities, self.n_shards, pad_to,
             self.model.n_relations)
@@ -259,15 +309,76 @@ class VertexShardedEncoder:
         b_sen, b_rel, b_rec, b_msk, b_nrm = b
         # forward messages read SENDER features; backward read RECEIVERS.
         f_halo, f_ptr = build_halo(f_sen, f_msk, self.rows_per,
-                                   self.n_shards, self.model.n_entities)
+                                   self.n_shards, self.model.n_entities,
+                                   h_budget=halo_budget)
         b_halo, b_ptr = build_halo(b_rec, b_msk, self.rows_per,
-                                   self.n_shards, self.model.n_entities)
+                                   self.n_shards, self.model.n_entities,
+                                   h_budget=halo_budget)
         self._traffic = (halo_traffic_rows(f_halo, self.rows_per,
                                            self.n_shards),
                          halo_traffic_rows(b_halo, self.rows_per,
                                            self.n_shards))
         return ((f_sen, f_rel, f_rec, f_msk, f_nrm, f_halo.send_idx, f_ptr),
                 (b_sen, b_rel, b_rec, b_msk, b_nrm, b_halo.send_idx, b_ptr))
+
+    def probe_budgets(self, sample_fn, n_probes: int = 8,
+                      slack: float = 1.5):
+        """Size the static layout budgets from probe subgraph samples.
+
+        sample_fn() -> (graph_triples [E, 3], loss_triples [T, 3]): one
+        host-sampled training subgraph + its (negative-sampled) loss
+        batch. Returns dict(edge_pad, halo_budget, dec_halo_budget, t_pad)
+        such that typical resampled batches fit; a pathological batch
+        that overflows raises at prepare() time with a clear message
+        rather than silently recompiling.
+        """
+        max_edges = 8
+        max_h = 8
+        max_dec_h = 8
+        max_t = 8
+        for _ in range(n_probes):
+            triples, loss_x = sample_fn()
+            triples = np.asarray(triples, dtype=np.int64)
+            loss_x = np.asarray(loss_x, dtype=np.int64)
+            max_t = max(max_t, len(loss_x))
+            for col in (2, 0):  # forward dst / backward dst
+                per = np.bincount(triples[:, col] // self.rows_per,
+                                  minlength=self.n_shards)
+                max_edges = max(max_edges, int(per.max()))
+            # halo row requirement: for each (consumer, owner) pair the
+            # unique boundary rows; probe both directions.
+            for src_col, dst_col in ((0, 2), (2, 0)):
+                dst_shard = triples[:, dst_col] // self.rows_per
+                src = triples[:, src_col]
+                for d in range(self.n_shards):
+                    mine = src[dst_shard == d]
+                    owners = mine // self.rows_per
+                    for q in range(self.n_shards):
+                        if q == d:
+                            continue
+                        h = len(np.unique(mine[owners == q]))
+                        max_h = max(max_h, h)
+            # decoder halo: measured exactly the way prepare_batch lays
+            # the loss batch out (row-major split into n_shards slices).
+            t_loc = _round_up(len(loss_x), self.n_shards * 8) \
+                // self.n_shards
+            for d in range(self.n_shards):
+                sl = loss_x[d * t_loc:(d + 1) * t_loc]
+                ents = np.concatenate([sl[:, 0], sl[:, 2]])
+                owners = ents // self.rows_per
+                for q in range(self.n_shards):
+                    if q == d:
+                        continue
+                    max_dec_h = max(max_dec_h,
+                                    len(np.unique(ents[owners == q])))
+        cap = _round_up(self.rows_per, 8)
+        return {
+            "edge_pad": _round_up(int(max_edges * slack), 8),
+            "halo_budget": min(_round_up(int(max_h * slack), 8), cap),
+            "dec_halo_budget": min(_round_up(int(max_dec_h * slack), 8),
+                                   cap),
+            "t_pad": _round_up(int(max_t), self.n_shards * 8),
+        }
 
     def pad_params(self, params):
         """Pad the input-transform table to v_pad rows for even sharding."""
@@ -278,6 +389,31 @@ class VertexShardedEncoder:
         out = jax.tree_util.tree_map(np.asarray, params)
         out["input_transform"] = dict(out["input_transform"])
         out["input_transform"]["W"] = w
+        return out
+
+    def place_state(self, tree):
+        """Device-place a params/optimizer-state pytree with its
+        steady-state shardings (entity-table-shaped leaves row-sharded,
+        everything else replicated). Placing BEFORE the first step makes
+        every call to the jitted step sharding-identical, so resampled
+        subgraphs reuse one executable from step 0."""
+        from jax.sharding import NamedSharding
+        row = NamedSharding(self.mesh, P(EDGE_AXIS))
+        rep = NamedSharding(self.mesh, P())
+
+        def put(x):
+            sharded = getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.v_pad
+            return jax.device_put(np.asarray(x), row if sharded else rep)
+
+        return jax.tree_util.tree_map(put, tree)
+
+    def unpad_params(self, params):
+        """Inverse of pad_params: trim the input-transform table back to
+        [V, d] (for checkpoint interchange with single-chip runs)."""
+        out = jax.tree_util.tree_map(np.asarray, params)
+        out["input_transform"] = dict(out["input_transform"])
+        out["input_transform"]["W"] = \
+            out["input_transform"]["W"][:self.model.n_entities]
         return out
 
     def param_spec(self, params):
@@ -316,20 +452,49 @@ class VertexShardedEncoder:
             lrng = (jax.random.fold_in(rng, 100 + li)
                     if rng is not None else None)
 
-            if self.halo == "targeted":
+            if self.halo == "targeted" and self.overlap:
+                # Overlapped schedule: issue both direction exchanges,
+                # then compute everything that only needs the shard's own
+                # rows (local-source messages; the self-loop matmul below
+                # is likewise independent) while the boundary rows fly.
+                nh_f = self.n_shards * f_send.shape[-1]
+                nh_b = self.n_shards * b_send.shape[-1]
+                f_remote = _halo_exchange_remote(feats_local, f_send,
+                                                 EDGE_AXIS)
+                b_remote = _halo_exchange_remote(feats_local, b_send,
+                                                 EDGE_AXIS)
+                f_loc = (f_ptr >= nh_f)
+                b_loc = (b_ptr >= nh_b)
+                fwd = enc._edge_messages(
+                    lp, self.variant, feats_local,
+                    jnp.where(f_loc, f_ptr - nh_f, 0), f_rel, "forward",
+                    e.n_bases) * f_loc[:, None]
+                bwd = enc._edge_messages(
+                    lp, self.variant, feats_local,
+                    jnp.where(b_loc, b_ptr - nh_b, 0), b_rel, "backward",
+                    e.n_bases) * b_loc[:, None]
+                fwd = fwd + enc._edge_messages(
+                    lp, self.variant, f_remote,
+                    jnp.where(f_loc, 0, f_ptr), f_rel, "forward",
+                    e.n_bases) * (~f_loc)[:, None]
+                bwd = bwd + enc._edge_messages(
+                    lp, self.variant, b_remote,
+                    jnp.where(b_loc, 0, b_ptr), b_rel, "backward",
+                    e.n_bases) * (~b_loc)[:, None]
+            elif self.halo == "targeted":
                 f_feats = _halo_exchange(feats_local, f_send, EDGE_AXIS)
                 b_feats = _halo_exchange(feats_local, b_send, EDGE_AXIS)
-                f_src, b_src = f_ptr, b_ptr
+                fwd = enc._edge_messages(lp, self.variant, f_feats, f_ptr,
+                                         f_rel, "forward", e.n_bases)
+                bwd = enc._edge_messages(lp, self.variant, b_feats, b_ptr,
+                                         b_rel, "backward", e.n_bases)
             else:
                 full = jax.lax.all_gather(feats_local, EDGE_AXIS,
                                           tiled=True)  # [v_pad, d]
-                f_feats = b_feats = full
-                f_src, b_src = f_sen, b_rec
-
-            fwd = enc._edge_messages(lp, self.variant, f_feats, f_src,
-                                     f_rel, "forward", e.n_bases)
-            bwd = enc._edge_messages(lp, self.variant, b_feats, b_src,
-                                     b_rel, "backward", e.n_bases)
+                fwd = enc._edge_messages(lp, self.variant, full, f_sen,
+                                         f_rel, "forward", e.n_bases)
+                bwd = enc._edge_messages(lp, self.variant, full, b_rec,
+                                         b_rel, "backward", e.n_bases)
 
             # Local aggregation into owned rows only.
             f_local = jnp.clip(f_rec - row0, 0, rows_per)
@@ -346,15 +511,26 @@ class VertexShardedEncoder:
             self_loop = jnp.dot(feats_local, lp["W_self"],
                                 preferred_element_type=jnp.float32)
             if not deterministic:
-                # Single-chip draws the mask over the full [V, d]; draw the
-                # same full mask and slice our rows for bit-parity.
-                keep = jax.random.bernoulli(
-                    lrng, e.dropout_keep_probability,
-                    (n_vertices, self_loop.shape[-1]))
-                keep = jnp.concatenate(
-                    [keep, jnp.ones((self.v_pad - n_vertices,
-                                     keep.shape[-1]), bool)])
-                keep = jax.lax.dynamic_slice_in_dim(keep, row0, rows_per)
+                if self.dropout_mode == "per_shard":
+                    # O(rows_per * d) per chip: each shard draws its own
+                    # stream (rng folded with the shard index). Same
+                    # distribution as single-chip, different stream.
+                    keep = jax.random.bernoulli(
+                        jax.random.fold_in(lrng, shard),
+                        e.dropout_keep_probability,
+                        (rows_per, self_loop.shape[-1]))
+                else:
+                    # full_parity: the single-chip [V, d] mask, row-sliced
+                    # — bit-identical losses for the parity tests, but
+                    # O(V * d) per chip.
+                    keep = jax.random.bernoulli(
+                        lrng, e.dropout_keep_probability,
+                        (n_vertices, self_loop.shape[-1]))
+                    keep = jnp.concatenate(
+                        [keep, jnp.ones((self.v_pad - n_vertices,
+                                         keep.shape[-1]), bool)])
+                    keep = jax.lax.dynamic_slice_in_dim(keep, row0,
+                                                        rows_per)
                 self_loop = jnp.where(
                     keep, self_loop / e.dropout_keep_probability, 0.0)
             out = coll_f + coll_b + self_loop
@@ -390,14 +566,23 @@ class VertexShardedEncoder:
         return jax.jit(wrapped)
 
     # -- training loss --------------------------------------------------
-    def prepare_batch(self, x: np.ndarray, y: np.ndarray):
+    def prepare_batch(self, x: np.ndarray, y: np.ndarray,
+                      t_pad: Optional[int] = None,
+                      halo_budget: Optional[int] = None):
         """Stack a host-sampled loss batch (e.g. NegativeSampler output)
         into per-shard slices + the decoder halo for its entities.
+
+        t_pad / halo_budget: static shapes for one-compile training
+        across resampled batches (see :meth:`probe_budgets`).
 
         Returns (triples [N,T,3], labels [N,T], mask [N,T],
                  dec_send [N,N,H], e1_ptr [N,T], e2_ptr [N,T])."""
         n = self.n_shards
-        t_pad = _round_up(len(x), n * 8)
+        if t_pad is None:
+            t_pad = _round_up(len(x), n * 8)
+        elif len(x) > t_pad:
+            raise ValueError(f"batch of {len(x)} loss triples > static "
+                             f"t_pad {t_pad}")
         xt = np.zeros((t_pad, 3), np.int32)
         yt = np.zeros((t_pad,), np.float32)
         mt = np.zeros((t_pad,), np.float32)
@@ -411,7 +596,8 @@ class VertexShardedEncoder:
         ents = np.concatenate([xt[:, :, 0], xt[:, :, 2]], axis=1)
         emask = np.concatenate([mt, mt], axis=1)
         halo, ptr = build_halo(ents, emask, self.rows_per, self.n_shards,
-                               self.model.n_entities)
+                               self.model.n_entities,
+                               h_budget=halo_budget)
         e1_ptr, e2_ptr = ptr[:, :t_loc], ptr[:, t_loc:]
         return xt, yt, mt, halo.send_idx, e1_ptr, e2_ptr
 
@@ -470,3 +656,215 @@ class VertexShardedEncoder:
             return params, opt_state, loss
 
         return step
+
+
+class VSBatch(NamedTuple):
+    """One vertex-sharded training batch (pytree of host arrays), laid
+    out to the pipeline's static budgets — every batch is shape-identical
+    so the jitted step compiles once across resampled subgraphs."""
+
+    f_arrays: tuple
+    b_arrays: tuple
+    triples: np.ndarray
+    labels: np.ndarray
+    mask: np.ndarray
+    dec_send: np.ndarray
+    e1_ptr: np.ndarray
+    e2_ptr: np.ndarray
+
+
+class VertexShardedBatchPipeline:
+    """Host-side batch construction for vertex-sharded training.
+
+    The BatchPipeline analogue for the row-sharded entity table: samples
+    the training subgraph + negative-sampled loss batch exactly like the
+    single-chip pipeline (same sampler semantics, ``train.py:205-247``),
+    then lays both out into destination-partitioned per-shard arrays with
+    STATIC budgets probed at construction (probe_budgets), so steps over
+    resampled subgraphs never recompile.
+    """
+
+    def __init__(self, vse: "VertexShardedEncoder", config,
+                 dataset, rng: np.random.Generator,
+                 sampler: str = "neighborhood",
+                 n_probes: int = 8, slack: float = 1.5,
+                 budgets: Optional[dict] = None):
+        from ..sampling import (AdjacencyIndex, NegativeSampler,
+                                graph_split, sample_edge_neighborhood_fast,
+                                sample_uniform_edges)
+        self.vse = vse
+        self.config = config
+        self.train = np.asarray(dataset.train, dtype=np.int32)
+        self.rng = rng
+        self.sampler = sampler
+        t = config.training
+        n_train = len(self.train)
+        gbs = t.graph_batch_size or n_train
+        self.graph_batch_size = min(gbs, n_train)
+        self.split_size = int(t.graph_split_size * self.graph_batch_size)
+        self.adj = AdjacencyIndex(self.train, config.entity_count)
+        self.ns = NegativeSampler(t.negative_sample_rate,
+                                  config.entity_count, rng)
+        self._graph_split = graph_split
+        self._sample_nbh = sample_edge_neighborhood_fast
+        self._sample_uni = sample_uniform_edges
+
+        if budgets is None:
+            # Budget probe runs on an independent RNG so the production
+            # batch stream (a pure function of `rng`) is untouched.
+            probe_rng = np.random.default_rng(0xB0D6E7)
+            probe_ns = NegativeSampler(t.negative_sample_rate,
+                                       config.entity_count, probe_rng)
+
+            def sample_fn():
+                ids = self._sample_ids(probe_rng)
+                split = graph_split(ids, t.graph_split_size, probe_rng)
+                x, _ = probe_ns.transform(self.train[ids])
+                return self.train[split], x
+
+            budgets = vse.probe_budgets(sample_fn, n_probes=n_probes,
+                                        slack=slack)
+        self.budgets = budgets
+
+    def _sample_ids(self, rng):
+        if self.graph_batch_size >= len(self.train):
+            return np.arange(len(self.train), dtype=np.int32)
+        if self.sampler == "neighborhood":
+            return self._sample_nbh(self.adj, self.graph_batch_size, rng)
+        return self._sample_uni(len(self.train), self.graph_batch_size,
+                                rng)
+
+    def next(self) -> VSBatch:
+        t = self.config.training
+        ids = self._sample_ids(self.rng)
+        split = self._graph_split(ids, t.graph_split_size, self.rng)
+        x, y = self.ns.transform(self.train[ids])
+        b = self.budgets
+        f_arrays, b_arrays = self.vse.prepare(
+            self.train[split], pad_to=b["edge_pad"],
+            halo_budget=b["halo_budget"])
+        xt, yt, mt, dec_send, e1_ptr, e2_ptr = self.vse.prepare_batch(
+            x, y, t_pad=b["t_pad"], halo_budget=b["dec_halo_budget"])
+        return VSBatch(f_arrays, b_arrays, xt, yt, mt, dec_send, e1_ptr,
+                       e2_ptr)
+
+    # resumable host state (same contract as BatchPipeline)
+    def state(self) -> dict:
+        return {"rng": self.rng.bit_generator.state, "cursor": 0}
+
+    def set_state(self, st: dict) -> None:
+        self.rng.bit_generator.state = st["rng"]
+
+
+class VertexShardedModelView:
+    """Scorer-compatible evaluation view over a vertex-sharded encode.
+
+    Entity codes stay row-sharded end to end: the encode keeps the
+    [v_pad, d] table distributed over the mesh, and all-entity scoring is
+    expressed over the SHARDED codes with replicated triple chunks —
+    out_shardings pin the score matrix's entity axis to the mesh, so XLA
+    runs each chip's decoder GEMM against its own code rows and the full
+    table is never replicated (the pjit formulation of the reference's
+    all-entity scoring, ``model.py:46-81``).
+
+    Presents the JittedModelView surface (score / score_all_subjects /
+    score_all_objects / invalidate); the ``graph`` argument is ignored —
+    codes come from the full-train-graph arrays fixed at construction.
+    """
+
+    def __init__(self, vse: "VertexShardedEncoder", f_arrays, b_arrays,
+                 chunk_pad: int = 1024):
+        from jax.sharding import NamedSharding
+        self.vse = vse
+        self.f_arrays = f_arrays
+        self.b_arrays = b_arrays
+        self.chunk_pad = chunk_pad
+        self._encode = vse.encode_fn()
+        mesh = vse.mesh
+        self._rep = NamedSharding(mesh, P())
+        self._row = NamedSharding(mesh, P(EDGE_AXIS))
+        self._col = NamedSharding(mesh, P(None, EDGE_AXIS))
+        dec = vse.model.decoder
+        n_ent = vse.model.n_entities
+
+        def subj(dec_params, rel_w, codes, t, sig):
+            r = rel_w[t[:, 1]]
+            e2 = codes[t[:, 2]]
+            en = dec.all_subject_energies(dec_params, codes, r, e2)
+            return jax.nn.sigmoid(en) if sig else en
+
+        def obj(dec_params, rel_w, codes, t, sig):
+            e1 = codes[t[:, 0]]
+            r = rel_w[t[:, 1]]
+            en = dec.all_object_energies(dec_params, codes, e1, r)
+            return jax.nn.sigmoid(en) if sig else en
+
+        def score(dec_params, rel_w, codes, t):
+            e1 = codes[t[:, 0]]
+            r = rel_w[t[:, 1]]
+            e2 = codes[t[:, 2]]
+            return jax.nn.sigmoid(dec.energies(dec_params, e1, r, e2))
+
+        jit = functools.partial(
+            jax.jit, static_argnums=4,
+            in_shardings=(self._rep, self._rep, self._row, self._rep),
+            out_shardings=self._col)
+        self._subj = jit(subj)
+        self._obj = jit(obj)
+        self._score = jax.jit(
+            score,
+            in_shardings=(self._rep, self._rep, self._row, self._rep),
+            out_shardings=self._rep)
+        self._n_entities = n_ent
+        self._key = None
+        self._codes = None
+
+    def invalidate(self) -> None:
+        self._key = None
+        self._codes = None
+
+    def _encoded(self, params):
+        if self._key is None or self._key is not params:
+            padded = self.vse.pad_params(params) \
+                if np.asarray(params["input_transform"]["W"]).shape[0] \
+                != self.vse.v_pad else params
+            self._padded = padded
+            self._codes = self._encode(padded, self.f_arrays,
+                                       self.b_arrays)
+            self._key = params
+        return self._padded, self._codes
+
+    def _chunk(self, triples):
+        t = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
+        n = t.shape[0]
+        # Chunks at or under chunk_pad share one compiled executable.
+        pad = self.chunk_pad if n <= self.chunk_pad else _round_up(n, 8)
+        if n < pad:
+            t = np.concatenate([t, np.repeat(t[-1:], pad - n, axis=0)])
+        return t, n
+
+    def score_all_subjects(self, params, graph, triples,
+                           apply_sigmoid: bool = True):
+        padded, codes = self._encoded(params)
+        t, n = self._chunk(triples)
+        out = self._subj(padded["decoder"],
+                         padded["relation_embedding"]["W_relation"],
+                         codes, t, apply_sigmoid)
+        return np.asarray(out)[:n, :self._n_entities]
+
+    def score_all_objects(self, params, graph, triples,
+                          apply_sigmoid: bool = True):
+        padded, codes = self._encoded(params)
+        t, n = self._chunk(triples)
+        out = self._obj(padded["decoder"],
+                        padded["relation_embedding"]["W_relation"],
+                        codes, t, apply_sigmoid)
+        return np.asarray(out)[:n, :self._n_entities]
+
+    def score(self, params, graph, triples):
+        padded, codes = self._encoded(params)
+        t, n = self._chunk(triples)
+        out = self._score(padded["decoder"],
+                          padded["relation_embedding"]["W_relation"],
+                          codes, t)
+        return np.asarray(out)[:n]

@@ -298,7 +298,11 @@ class TrainLoop:
                  negative_pool_size: int = 512,
                  steps_per_dispatch: int = 8,
                  prefetch_threads: int = 2,
-                 mesh=None):
+                 mesh=None,
+                 vertex_sharded: bool = False,
+                 vs_overlap: bool = False,
+                 vs_dropout_mode: str = "per_shard",
+                 vs_slack: float = 1.5):
         self.model = model
         self.config = config
         self.dataset = dataset
@@ -312,27 +316,58 @@ class TrainLoop:
         # (parallel/mesh.py). Batches are padded so every leading dim
         # divides the mesh; the jitted step is the shard_map'd one and
         # params/opt state stay replicated across devices.
+        # vertex_sharded: shard the VERTEX axis instead (row-sharded entity
+        # table + targeted halo exchange, parallel/vertex_sharded.py) for
+        # beyond-HBM entity counts. Uses host-sampled binomial negatives;
+        # batches are laid out to static probed budgets so resampled
+        # subgraphs share one compiled step.
         self.mesh = mesh
+        self.vertex_sharded = vertex_sharded
         if mesh is not None and model.has_state:
             raise ValueError("the stored-message (stateful) variant does not "
                              "support mesh execution")
         shard = int(mesh.devices.size) if mesh is not None else 1
-        self.pipeline = BatchPipeline(model, config, dataset, self.host_rng,
-                                      sampler,
-                                      device_negatives=device_negatives,
-                                      shard_multiple=shard)
+        if vertex_sharded:
+            from ..parallel.vertex_sharded import (VertexShardedBatchPipeline,
+                                                   VertexShardedEncoder)
+            if mesh is None:
+                raise ValueError("vertex_sharded requires a mesh")
+            if negative_mode != "binomial":
+                raise ValueError("vertex_sharded training uses the "
+                                 "host-sampled binomial protocol")
+            self.vse = VertexShardedEncoder(model, mesh,
+                                            overlap=vs_overlap,
+                                            dropout_mode=vs_dropout_mode)
+            self.pipeline = VertexShardedBatchPipeline(
+                self.vse, config, dataset, self.host_rng, sampler,
+                slack=vs_slack)
+        else:
+            self.vse = None
+            self.pipeline = BatchPipeline(model, config, dataset,
+                                          self.host_rng, sampler,
+                                          device_negatives=device_negatives,
+                                          shard_multiple=shard)
         # Each run dispatches K steps per executable (lax.scan over stacked
         # batches) to amortize per-dispatch transport; boundaries (reports,
         # validation checks, saves) fall back to the single-step path.
         # Mesh runs dispatch one (shard_map'd) step at a time.
         self.steps_per_dispatch = 1 if (model.has_state or mesh is not None) \
             else max(1, int(steps_per_dispatch))
-        self._extra_pipelines = [
-            BatchPipeline(model, config, dataset,
-                          np.random.default_rng(seed + 1000 + w), sampler,
-                          device_negatives=device_negatives,
-                          shard_multiple=shard)
-            for w in range(max(0, prefetch_threads - 1))]
+        if vertex_sharded:
+            from ..parallel.vertex_sharded import VertexShardedBatchPipeline
+            self._extra_pipelines = [
+                VertexShardedBatchPipeline(
+                    self.vse, config, dataset,
+                    np.random.default_rng(seed + 1000 + w), sampler,
+                    budgets=self.pipeline.budgets)
+                for w in range(max(0, prefetch_threads - 1))]
+        else:
+            self._extra_pipelines = [
+                BatchPipeline(model, config, dataset,
+                              np.random.default_rng(seed + 1000 + w), sampler,
+                              device_negatives=device_negatives,
+                              shard_multiple=shard)
+                for w in range(max(0, prefetch_threads - 1))]
         self.optimizer = build_optimizer(config.optimizer)
         self.rng_key = jax.random.PRNGKey(seed)
 
@@ -402,7 +437,9 @@ class TrainLoop:
                                             updates)
             return params, opt_state, loss
 
-        if mesh is not None:
+        if vertex_sharded:
+            self._train_step = self.vse.make_train_step(self.optimizer)
+        elif mesh is not None:
             from ..parallel.mesh import make_sharded_train_step
             if not self.pipeline.device_negatives:
                 sharded_mode = None  # host pre-tiles negatives
@@ -455,6 +492,8 @@ class TrainLoop:
 
     def init_state(self, seed: int = 0):
         params = self.model.init_params(jax.random.PRNGKey(seed))
+        if self.vertex_sharded:
+            params = self.vse.pad_params(params)
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
@@ -466,7 +505,17 @@ class TrainLoop:
         cfg = self.config.optimizer
         if params is None:
             params, opt_state = self.init_state()
-        if self.mesh is not None:
+        if self.vertex_sharded:
+            # Accept single-chip-shaped params (e.g. a resumed checkpoint):
+            # pad the entity table and rebuild the optimizer state to the
+            # padded shapes.
+            w = params["input_transform"]["W"]
+            if np.asarray(w).shape[0] != self.vse.v_pad:
+                params = self.vse.pad_params(params)
+                opt_state = self.optimizer.init(params)
+            params = self.vse.place_state(params)
+            opt_state = self.vse.place_state(opt_state)
+        elif self.mesh is not None:
             from ..parallel.mesh import replicate
             params = replicate(self.mesh, params)
             opt_state = replicate(self.mesh, opt_state)
@@ -554,6 +603,22 @@ class TrainLoop:
                             batch.graph, batch.edge_ids, batch.triples,
                             batch.labels, batch.mask, step_key)
                     pending.append((i, loss_dev))
+                elif self.vertex_sharded:
+                    # Row-sharded entity table: the VS step consumes the
+                    # pipeline's statically-budgeted layout directly
+                    # (steps_per_dispatch is 1; shapes identical across
+                    # resampled subgraphs, so this compiles once).
+                    for _ in range(k):
+                        i += 1
+                        batch = source.next()
+                        self.rng_key, step_key = jax.random.split(
+                            self.rng_key)
+                        params, opt_state, loss_dev = self._train_step(
+                            params, opt_state, batch.f_arrays,
+                            batch.b_arrays, batch.triples, batch.labels,
+                            batch.mask, batch.dec_send, batch.e1_ptr,
+                            batch.e2_ptr, step_key)
+                        pending.append((i, loss_dev))
                 elif self.mesh is not None or k < self.steps_per_dispatch:
                     # Mesh runs always take the single-step path: only
                     # self._train_step is the shard_map'd executable

@@ -91,7 +91,10 @@ def test_vertex_sharded_matches_single_chip(toy_dataset, block, halo):
 def test_vertex_sharded_loss_and_grads_match_single_chip(toy_dataset):
     ds, model = setup(toy_dataset, block=True)
     mesh = make_mesh(4)
-    vs = VertexShardedEncoder(model, mesh)
+    # full_parity reproduces the single-chip dropout RNG stream exactly
+    # (the per_shard default draws per-shard streams — same distribution,
+    # different bits).
+    vs = VertexShardedEncoder(model, mesh, dropout_mode="full_parity")
     params = model.init_params(jax.random.PRNGKey(0))
     f, b = vs.prepare(ds.train, pad_to=64)
     padded = vs.pad_params(params)
@@ -167,6 +170,154 @@ def test_targeted_halo_ships_fewer_rows_than_all_gather():
     layout, _ = build_halo(f[0], f[3], rows_per, n_shards, V)
     targeted, allgather = halo_traffic_rows(layout, rows_per, n_shards)
     assert targeted < allgather / 2
+
+
+@pytest.mark.parametrize("block", [False, True])
+def test_overlapped_halo_matches_sequential(toy_dataset, block):
+    """overlap=True (local-source messages computed while the boundary
+    exchange is in flight) must be numerically identical to the
+    sequential schedule — encode AND loss+grads."""
+    ds, model = setup(toy_dataset, block=block)
+    mesh = make_mesh(4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ns = NegativeSampler(2, ds.n_entities, np.random.default_rng(0))
+    x, y = ns.transform(ds.train)
+    rng = jax.random.PRNGKey(7)
+
+    results = []
+    for overlap in (False, True):
+        vs = VertexShardedEncoder(model, mesh, overlap=overlap,
+                                  dropout_mode="full_parity")
+        f, b = vs.prepare(ds.train, pad_to=64)
+        padded = vs.pad_params(params)
+        codes = np.asarray(vs.encode_fn()(padded, f, b))
+        batch = vs.prepare_batch(x, y)
+        loss, grads = jax.value_and_grad(vs.loss_fn())(
+            padded, f, b, *batch, rng)
+        results.append((codes, float(loss), grads))
+    np.testing.assert_allclose(results[0][0], results[1][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1],
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(results[0][2]),
+                     jax.tree_util.tree_leaves(results[1][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_halo_budget_static_and_overflow(toy_dataset):
+    ds, model = setup(toy_dataset)
+    mesh = make_mesh(4)
+    vs = VertexShardedEncoder(model, mesh)
+    # generous budget: layouts padded to exactly the budget
+    f, b = vs.prepare(ds.train, pad_to=64, halo_budget=16)
+    assert f[5].shape[-1] == 16 and b[5].shape[-1] == 16
+    # impossible budget: loud error, not a recompile
+    with pytest.raises(ValueError, match="halo budget"):
+        vs.prepare(ds.train, pad_to=64, halo_budget=0)
+
+
+def test_trainloop_vertex_sharded_one_compile_and_parity(toy_dataset):
+    """The integrated engine path: 5 steps over 5 RESAMPLED subgraphs
+    compile the step exactly once (static probed budgets), and the loss
+    stream matches the single-chip TrainLoop on identical batches."""
+    import dataclasses as dc
+
+    from relationprediction_tpu.training import TrainLoop
+
+    ds = toy_dataset
+    cfg = config_lib.load("/root/reference/settings/gcn_basis.exp")
+    cfg = dc.replace(
+        cfg,
+        encoder=dc.replace(cfg.encoder, code_dimension=16,
+                           internal_dimension=16, n_bases=4),
+        decoder=dc.replace(cfg.decoder, code_dimension=16),
+        training=dc.replace(cfg.training, graph_batch_size=32))
+    cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+
+    losses = {}
+
+    def run(tag, **kw):
+        model = build_model(cfg)
+        seen = []
+
+        def log(msg):
+            if msg.startswith("Initial loss:"):
+                seen.append(float(msg.split(":")[1]))
+
+        loop = TrainLoop(model, cfg, ds, seed=7, prefetch=False,
+                         steps_per_dispatch=1, log=log,
+                         device_negatives=False, **kw)
+        res = loop.fit(max_iterations=5)
+        losses[tag] = seen
+        return loop, res
+
+    loop_vs, res_vs = run("vs", mesh=make_mesh(4), vertex_sharded=True,
+                          vs_dropout_mode="full_parity")
+    assert loop_vs._train_step._cache_size() == 1, \
+        "resampled subgraphs must share ONE compiled step"
+    _, res_single = run("single")
+
+    assert losses["vs"][0] == pytest.approx(losses["single"][0], rel=5e-4)
+    assert res_vs.last_loss == pytest.approx(res_single.last_loss,
+                                             rel=5e-4)
+    # final entity table parity (unpad the sharded copy)
+    w_vs = loop_vs.vse.unpad_params(res_vs.params)
+    w_vs = w_vs["input_transform"]["W"]
+    w_single = np.asarray(res_single.params["input_transform"]["W"])
+    np.testing.assert_allclose(w_vs, w_single, rtol=5e-3, atol=5e-5)
+
+
+def test_trainloop_vertex_sharded_per_shard_dropout_learns(toy_dataset):
+    """The scalable per-shard dropout default trains (distribution is the
+    same even though the mask stream differs from single-chip)."""
+    import dataclasses as dc
+
+    from relationprediction_tpu.training import TrainLoop
+
+    ds = toy_dataset
+    cfg = config_lib.load("/root/reference/settings/gcn_basis.exp")
+    cfg = dc.replace(
+        cfg,
+        encoder=dc.replace(cfg.encoder, code_dimension=16,
+                           internal_dimension=16, n_bases=4),
+        decoder=dc.replace(cfg.decoder, code_dimension=16))
+    cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+    model = build_model(cfg)
+    loop = TrainLoop(model, cfg, ds, seed=0, prefetch=False,
+                     log=lambda m: None, mesh=make_mesh(4),
+                     vertex_sharded=True)
+    first = loop.fit(max_iterations=1)
+    more = loop.fit(params=first.params, opt_state=first.opt_state,
+                    max_iterations=12, start_iteration=1)
+    assert np.isfinite(more.last_loss)
+    assert more.last_loss < first.last_loss
+
+
+def test_vertex_sharded_eval_view_matches_single_chip(toy_dataset):
+    """VertexShardedModelView: all-entity scoring against the row-sharded
+    code table reproduces the single-chip scores."""
+    from relationprediction_tpu.parallel.vertex_sharded import (
+        VertexShardedModelView)
+
+    ds, model = setup(toy_dataset)
+    mesh = make_mesh(4)
+    vs = VertexShardedEncoder(model, mesh)
+    params = model.init_params(jax.random.PRNGKey(3))
+    f, b = vs.prepare(ds.train, pad_to=64)
+    view = VertexShardedModelView(vs, f, b, chunk_pad=8)
+
+    graph = model.make_graph(ds.train, pad_to=64)
+    for fn_view, fn_model in (
+            (view.score_all_subjects, model.score_all_subjects),
+            (view.score_all_objects, model.score_all_objects)):
+        got = fn_view(params, None, ds.test, apply_sigmoid=False)
+        want = np.asarray(fn_model(params, graph, ds.test,
+                                   apply_sigmoid=False))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    got = view.score(params, None, ds.test)
+    want = np.asarray(model.score(params, graph, ds.test))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
 def test_vertex_sharded_rejects_unsupported(toy_dataset):

@@ -59,6 +59,14 @@ def main() -> None:
                         help="Edge-partitioned multi-chip training over the "
                              "first N devices (jax.sharding.Mesh; training "
                              "step AND evaluation run sharded).")
+    parser.add_argument("--vertex-sharded", action="store_true",
+                        help="Shard the VERTEX axis over the mesh (row-"
+                             "sharded entity table + targeted halo "
+                             "exchange) for beyond-HBM entity counts; "
+                             "requires --mesh.")
+    parser.add_argument("--vs-overlap", action="store_true",
+                        help="Overlap the halo exchange with local "
+                             "message computation (vertex-sharded only).")
     parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                         help="Multi-host: jax.distributed coordinator "
                              "address (process 0 binds it).")
@@ -115,18 +123,37 @@ def main() -> None:
         print(f"Mesh: {mesh.devices.size} devices over "
               f"{jax.process_count()} process(es), edge-partitioned")
     n_shards = mesh.devices.size if mesh is not None else 1
-    # Evaluation under multi-host runs process-locally (every process
-    # computes the identical scores from the replicated params), so the
-    # model view is built without the process-spanning mesh.
-    view = JittedModelView(model, mesh=None if multihost else mesh)
+    if args.vertex_sharded and mesh is None:
+        parser.error("--vertex-sharded requires --mesh")
 
     # Test-mode graph = the full training graph (``train.py:255-256``).
     eval_graph = None
-    if model.needs_graph():
-        eval_graph = model.make_graph(
-            ds.train, pad_to=_round_up(len(ds.train),
-                                       int(np.lcm(128, n_shards))),
-            shard_align=int(np.lcm(8, n_shards)), sc_shards=n_shards)
+    if args.vertex_sharded:
+        # Row-sharded entity table: evaluation runs through the
+        # vertex-sharded view (decoder GEMMs against each chip's code
+        # rows); the full-train-graph halo layouts are its eval graph.
+        from relationprediction_tpu.parallel.vertex_sharded import (
+            VertexShardedEncoder, VertexShardedModelView)
+        vse_eval = VertexShardedEncoder(model, mesh)
+        per_shard = np.bincount(
+            np.asarray(ds.train)[:, 2] // vse_eval.rows_per,
+            minlength=n_shards)
+        per_shard_b = np.bincount(
+            np.asarray(ds.train)[:, 0] // vse_eval.rows_per,
+            minlength=n_shards)
+        pad = _round_up(int(max(per_shard.max(), per_shard_b.max())), 8)
+        f_arr, b_arr = vse_eval.prepare(ds.train, pad_to=pad)
+        view = VertexShardedModelView(vse_eval, f_arr, b_arr)
+    else:
+        # Evaluation under multi-host runs process-locally (every process
+        # computes the identical scores from the replicated params), so
+        # the model view is built without the process-spanning mesh.
+        view = JittedModelView(model, mesh=None if multihost else mesh)
+        if model.needs_graph():
+            eval_graph = model.make_graph(
+                ds.train, pad_to=_round_up(len(ds.train),
+                                           int(np.lcm(128, n_shards))),
+                shard_align=int(np.lcm(8, n_shards)), sc_shards=n_shards)
 
     scorer = Scorer(metric=cfg.training.metric)
     scorer.register_data(ds.train)
@@ -153,7 +180,9 @@ def main() -> None:
 
     loop = TrainLoop(model, cfg, ds, scoring_function=score_validation_data,
                      sampler=args.sampler, seed=args.seed,
-                     negative_mode=args.negative_mode, mesh=mesh)
+                     negative_mode=args.negative_mode, mesh=mesh,
+                     vertex_sharded=args.vertex_sharded,
+                     vs_overlap=args.vs_overlap)
 
     checkpoint_path = cfg.training.experiment_name
     t0 = time.time()
