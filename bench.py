@@ -175,6 +175,15 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
                 "ms_per_step": round(dt * 1e3, 2),
                 "steps_per_sec": round(1.0 / dt, 2),
                 "msg_edges_per_sec": round(edges / dt, 1),
+                # Protocol comparability (docs/ROOFLINE.md §4): 'binomial'
+                # is the reference's exact corruption protocol; 'split'
+                # factorizes the same rate; 'shared' scores against a
+                # shared pool — a DIFFERENT objective/distribution whose
+                # step time must not be quoted as the reference-protocol
+                # number.
+                "protocol": ("reference-exact" if mode == "binomial" else
+                             "factorized-equivalent" if mode == "split"
+                             else "shared-pool (different objective)"),
             }
             print(f"train step [{mode}]: {dt * 1e3:.1f} ms/step "
                   f"({edges / dt / 1e6:.2f}M msg-edges/s)", file=sys.stderr)

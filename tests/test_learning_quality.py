@@ -43,9 +43,11 @@ def test_distmult_learns_synthetic():
     result = loop.fit(params, opt_state, max_iterations=400)
     mrr_after = evaluate(model, result.params, ds)
 
+    # Gates at measured margins (docs/QUALITY.md): 0.403 = 24x chance,
+    # untrained 0.10.
     chance = 1.0 / ds.n_entities
-    assert mrr_after > 5 * chance, (mrr_before, mrr_after)
-    assert mrr_after > 2 * mrr_before, (mrr_before, mrr_after)
+    assert mrr_after > 18 * chance, (mrr_before, mrr_after)
+    assert mrr_after > 3 * mrr_before, (mrr_before, mrr_after)
 
 
 def test_rgcn_learns_synthetic():
@@ -65,4 +67,21 @@ def test_rgcn_learns_synthetic():
     result = loop.fit(max_iterations=250)
     graph = model.make_graph(ds.train)
     mrr = evaluate(model, result.params, ds, graph)
-    assert mrr > 5.0 / ds.n_entities, mrr
+    # Measured 0.170 = 10x chance (docs/QUALITY.md).
+    assert mrr > 8.0 / ds.n_entities, mrr
+
+
+def test_toy_gcn_basis_quality_gate():
+    """Early-stopped Toy run of the shipped gcn_basis config must reach
+    filtered MRR >= 0.40 (measured 0.50-0.53 across seeds,
+    docs/QUALITY.md; chance is 0.0625). Fails if Toy quality regresses."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    from quality_dossier import run_one
+
+    r = run_one("gcn_basis", seed=0, max_iters=300)
+    assert r["mrr"] >= 0.40, r
+    assert r["h10"] >= 0.8, r
