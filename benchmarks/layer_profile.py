@@ -94,10 +94,12 @@ def main():
         print(f"{name:42s} {dt * 1e3:8.3f} ms   "
               f"{gb / dt:7.1f} GB/s eff  ({gb * 1e3:.0f} MB)")
 
-    # 1. row gather [E, 500] <- [V, 500]
+    # 1. row gather [E, 500] <- [V, 500]  (perturb f BEFORE the gather —
+    # `f[i] + acc` lets XLA hoist the gather out of the timing loop)
     gb = (E * D * 4 * 2) / 1e9  # read gathered rows + write out
     rep("gather feats[idx] [E,500]",
-        timed(lambda f, i, acc: (f[i] + acc).sum() * 0, feats, senders), gb)
+        timed(lambda f, i, acc: ((f + acc)[i]).sum() * 0, feats, senders),
+        gb)
 
     # 2. bucketed block transform (einsum, current production path)
     def tr_einsum(f, acc):
@@ -131,10 +133,10 @@ def main():
     rep("segment_sum sorted   [E,500]->[V,500]",
         timed(seg_sorted, msgs, weights), gb)
 
-    # 6. row permutation y[perm]
+    # 6. row permutation y[perm] (perturb before the permute, see stage 1)
     gb = (E * D * 4 * 2) / 1e9
     rep("row permute msgs[perm] [E,500]",
-        timed(lambda m, p, acc: (m[p] + acc).sum() * 0, msgs, perm), gb)
+        timed(lambda m, p, acc: ((m + acc)[p]).sum() * 0, msgs, perm), gb)
 
     # 7. full current layer (bucketed)
     from relationprediction_tpu.graph import build_graph_batch

@@ -26,9 +26,12 @@ def main():
     p.add_argument("--layout", default="sc2", choices=["sc2", "v1", "flat"])
     p.add_argument("--negative-mode", default="binomial",
                    choices=["binomial", "split", "shared"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 encoder message + decoder stream precision")
     args = p.parse_args()
 
     import jax
+    import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -44,6 +47,14 @@ def main():
     ds = synthetic.like("FB15k-237", seed=0)
     cfg = config_lib.load(os.path.join(os.path.dirname(__file__), "..",
                                        "settings", "gcn_block.exp"))
+    if args.bf16:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg,
+            encoder=dataclasses.replace(cfg.encoder,
+                                        message_precision="bfloat16"),
+            decoder=dataclasses.replace(cfg.decoder,
+                                        stream_precision="bfloat16"))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -82,10 +93,18 @@ def main():
     N = 10
 
     def timed(label, body, *bargs):
+        """In-graph timing with a loop-carried PERTURBATION of the first
+        argument (a params pytree): every leaf gets `+ acc` added, so NO
+        stage computation is loop-invariant and XLA cannot hoist it out
+        of the fori_loop. (A `result + acc * 0` epilogue — the round-2/3
+        harness — lets the whole stage hoist and times a no-op; that bug
+        made the early round-3 step numbers ~10x too good.)"""
         @jax.jit
-        def f(*a):
+        def f(p0, *a):
             def it(k, acc):
-                return acc + body(*a, acc)
+                p = jax.tree_util.tree_map(lambda x: x + acc, p0)
+                # squash so the feedback never overflows the perturbation
+                return jnp.tanh(body(p, *a, acc)) * 1e-6
             return jax.lax.fori_loop(0, N, it, 0.0)
         t0 = time.perf_counter()
         float(f(*bargs))
@@ -172,7 +191,12 @@ def main():
                     q, graph, batch.triples, batch.mask, pool, rng=key,
                     deterministic=False))(p)
         updates, s2 = opt.update(gr, s_, p)
-        return loss + acc * 0
+        # fold the updates into the return so DCE cannot delete the
+        # backward + optimizer (round-3 harness bug: returning only
+        # `loss` let XLA erase everything but the forward)
+        upd_sum = jax.tree_util.tree_reduce(
+            lambda a, b: a + b.sum(), updates, 0.0)
+        return loss + upd_sum * 1e-30
     timed(f"FULL device step [{args.negative_mode}]", full_step, params,
           opt_state)
 

@@ -157,6 +157,12 @@ class DecoderConfig:
     # nonlinear-transform only:
     decoder_dimension: int = 500
     embedding_width: int = 500
+    # TPU perf extension (not in the reference): precision of the
+    # per-triple decoder streams in the TRAINING loss (the [rate+1)·N, d]
+    # e1/r/e2 gathers + products — the train step's dominant HBM traffic
+    # at FB15k-237 scale, docs/ROOFLINE.md §4). "bfloat16" halves it;
+    # energy/CE reductions and evaluation stay float32.
+    stream_precision: str = "float32"  # float32 | bfloat16
 
 
 @dataclass(frozen=True)

@@ -224,8 +224,9 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
             raise ValueError("staircase2 layouts require 'global' "
                              "normalization")
         sc2_fwd, sc2_bwd = _staircase2_pairs(
-            senders, relations, receivers, fwd, bwd, n_vertices, s2_rb,
-            s2_chunk, s2_k, s2_pad_rows if s2_pad_rows is not None
+            senders, relations, receivers, fwd, bwd, n_vertices,
+            n_relations, s2_rb, s2_chunk, s2_k,
+            s2_pad_rows if s2_pad_rows is not None
             else pad_to is not None, to_device)
 
     dev = jnp.asarray if to_device else (lambda x: x)
@@ -278,8 +279,8 @@ def _staircase_layouts(senders, receivers, fwd_norm, bwd_norm, n_vertices,
 
 
 def _staircase2_pairs(senders, relations, receivers, fwd_norm, bwd_norm,
-                      n_vertices, s2_rb, s2_chunk, s2_k, pad_rows,
-                      to_device):
+                      n_vertices, n_relations, s2_rb, s2_chunk, s2_k,
+                      pad_rows, to_device):
     """Fused v2 layout pairs for both directions.
 
     When pad_rows is set, the grid-row count is padded to a bound that is
@@ -289,26 +290,44 @@ def _staircase2_pairs(senders, relations, receivers, fwd_norm, bwd_norm,
     """
     e_pad = senders.shape[0]
     n_blocks = -(-n_vertices // s2_rb)
+    # Relation-group size for the fused layouts. group>1 shrinks the
+    # kernel's one-hot weight-row matmul and the backward's dW stream by
+    # the group factor, but was MEASURED SLOWER end-to-end on v5e
+    # (2026-08): strided-group expansion (pltpu.repeat per FMA slice)
+    # costs more VPU time than the saved MXU work, run padding inflates
+    # S by ~20% at full-graph scale, and the backward's group-major
+    # transpose regressed grad time 2.6x. The strided-group kernel path
+    # is kept (tested, exact) for architectures where the tradeoff
+    # flips; production uses per-slot groups.
+    group = 1
+    # worst-case slot inflation: each (row-block, relation) run pads to
+    # a multiple of `group`. Bound is sample-independent (n_relations,
+    # not this sample's max) so resampled subgraphs share shapes.
+    n_runs = min(e_pad, n_blocks * max(1, int(n_relations)))
+    slot_bound = e_pad + (group - 1) * n_runs
     if s2_k is None:
         if pad_rows:
             # pure function of the PAD size, not the realized edge count
-            s2_k = int(np.clip(-(-e_pad // (s2_chunk * n_blocks)), 1, 16))
+            s2_k = int(np.clip(-(-slot_bound // (s2_chunk * n_blocks)),
+                               1, 16))
         else:
             s2_k = 0  # auto per layout (data-dependent is fine unpadded)
     k_arg = s2_k if s2_k > 0 else None
     bound = None
     if pad_rows:
         # rows_b <= padded_b/(k*chunk) + 1 per non-empty block, and
-        # sum(padded_b) <= e_pad with group == 1.
-        bound = n_blocks + -(-e_pad // (s2_k * s2_chunk))
+        # sum(padded_b) <= slot_bound.
+        bound = n_blocks + -(-slot_bound // (s2_k * s2_chunk))
     sc2_fwd = build_staircase2_pair(
         senders, relations, receivers, fwd_norm, n_vertices,
-        direction="forward", rb=s2_rb, chunk=s2_chunk, k=k_arg, group=1,
-        pad_rows_to=bound, twin_pad_rows_to=bound, to_device=to_device)
+        direction="forward", rb=s2_rb, chunk=s2_chunk, k=k_arg,
+        group=group, pad_rows_to=bound, twin_pad_rows_to=bound,
+        to_device=to_device)
     sc2_bwd = build_staircase2_pair(
         senders, relations, receivers, bwd_norm, n_vertices,
-        direction="backward", rb=s2_rb, chunk=s2_chunk, k=k_arg, group=1,
-        pad_rows_to=bound, twin_pad_rows_to=bound, to_device=to_device)
+        direction="backward", rb=s2_rb, chunk=s2_chunk, k=k_arg,
+        group=group, pad_rows_to=bound, twin_pad_rows_to=bound,
+        to_device=to_device)
     return sc2_fwd, sc2_bwd
 
 
@@ -392,8 +411,8 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
             raise ValueError("staircase2 layouts require 'global' "
                              "normalization")
         sc2_fwd, sc2_bwd = _staircase2_pairs(
-            senders, relations, receivers, fwd, bwd, n_vertices, s2_rb,
-            s2_chunk, s2_k, s2_pad_rows, to_device)
+            senders, relations, receivers, fwd, bwd, n_vertices,
+            n_relations, s2_rb, s2_chunk, s2_k, s2_pad_rows, to_device)
 
     dev = jnp.asarray if to_device else (lambda x: x)
     return GraphBatch(

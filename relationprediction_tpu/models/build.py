@@ -51,6 +51,12 @@ class RGCNModel:
         )
         self.n_entities = config.entity_count
         self.n_relations = config.relation_count
+        # Training-loss decoder stream precision (docs/ROOFLINE.md §4):
+        # bf16 halves the [rate+1)·N, d] gather/product HBM traffic that
+        # dominates the train step; reductions stay f32. Evaluation
+        # scoring paths are unaffected.
+        self._dec_dtype = (jnp.bfloat16 if config.decoder.stream_precision
+                           in ("bfloat16", "bf16") else None)
 
         self.is_gcn = e.name in ("gcn_basis", "gcn_diag", "variational_gcn_basis")
         self.variational = e.name in ("variational_embedding",
@@ -358,6 +364,14 @@ class RGCNModel:
     # ------------------------------------------------------------------
     # Losses and scoring
     # ------------------------------------------------------------------
+    def _stream_cast(self, encoded: EncodeResult) -> EncodeResult:
+        """Cast codes to the decoder stream dtype (training losses only)."""
+        if self._dec_dtype is None:
+            return encoded
+        return encoded._replace(
+            entity_codes=encoded.entity_codes.astype(self._dec_dtype),
+            relation_codes=encoded.relation_codes.astype(self._dec_dtype))
+
     def gather_codes(self, encoded: EncodeResult, triples: jax.Array
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """(e1, r, e2) code gather (``bilinear_diag.py:14-24``)."""
@@ -380,6 +394,7 @@ class RGCNModel:
         cross-device reductions happen inside)."""
         encoded = self.encode(params, graph, deterministic=deterministic,
                               rng=rng, axis_name=axis_name)
+        encoded = self._stream_cast(encoded)
         e1, r, e2 = self.gather_codes(encoded, triples)
         energies = self.decoder.energies(params["decoder"], e1, r, e2)
         loss = decoders_lib.weighted_ce_loss(energies, labels, mask,
@@ -416,6 +431,7 @@ class RGCNModel:
                              "the structured-negatives loss")
         encoded = self.encode(params, graph, deterministic=deterministic,
                               rng=rng, axis_name=axis_name)
+        encoded = self._stream_cast(encoded)
         e1, r, e2 = self.gather_codes(encoded, positives)
         dp = params["decoder"]
         codes = encoded.entity_codes
@@ -499,6 +515,7 @@ class RGCNModel:
                              "the shared-negatives loss")
         encoded = self.encode(params, graph, deterministic=deterministic,
                               rng=rng, axis_name=axis_name)
+        encoded = self._stream_cast(encoded)
         e1, r, e2 = self.gather_codes(encoded, positives)
         dp = params["decoder"]
         pool = encoded.entity_codes[neg_pool]                      # [P, d]

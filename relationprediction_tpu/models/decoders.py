@@ -26,9 +26,11 @@ def masked_mean(x: jax.Array, mask: Optional[jax.Array],
     """Mean over real entries; with ``axis_name``, the mean is global across
     an edge/triple-sharded mesh axis (sums psum'd before dividing)."""
     if mask is None:
-        s, c = jnp.sum(x), jnp.asarray(x.size, x.dtype)
+        s, c = jnp.sum(x, dtype=jnp.float32), jnp.asarray(x.size,
+                                                          jnp.float32)
     else:
-        s, c = jnp.sum(x * mask), jnp.sum(mask)
+        s = jnp.sum(x * mask.astype(x.dtype), dtype=jnp.float32)
+        c = jnp.sum(mask, dtype=jnp.float32)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
         c = jax.lax.psum(c, axis_name)
@@ -85,7 +87,7 @@ class BilinearDiag:
         return e1 * r
 
     def factored_energy(self, params, entity_codes, factor):
-        return jnp.sum(entity_codes * factor, axis=-1)
+        return jnp.sum(entity_codes * factor, axis=-1, dtype=jnp.float32)
 
     def regularization(self, params, e1, r, e2, mask=None,
                        axis_name=None):

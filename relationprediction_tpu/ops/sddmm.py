@@ -10,8 +10,11 @@ import jax.numpy as jnp
 
 
 def distmult_energies(e1, r, e2):
-    """DistMult triple energies: sum_d e1 * r * e2 (``bilinear_diag.py:30``)."""
-    return jnp.sum(e1 * r * e2, axis=-1)
+    """DistMult triple energies: sum_d e1 * r * e2 (``bilinear_diag.py:30``).
+
+    Accumulates in float32 regardless of the stream dtype, so bf16
+    decoder streams (DecoderConfig.stream_precision) keep f32 logits."""
+    return jnp.sum(e1 * r * e2, axis=-1, dtype=jnp.float32)
 
 
 def distmult_all_subjects(all_codes, r, e2):
@@ -37,10 +40,11 @@ def complex_energies(e1, r, e2):
     e1r, e1i = _split(e1)
     e2r, e2i = _split(e2)
     rr, ri = _split(r)
-    return (jnp.sum(e1r * rr * e2r, -1)
-            + jnp.sum(e1i * rr * e2i, -1)
-            + jnp.sum(e1r * ri * e2i, -1)
-            - jnp.sum(e1i * ri * e2r, -1))
+    f32 = jnp.float32
+    return (jnp.sum(e1r * rr * e2r, -1, dtype=f32)
+            + jnp.sum(e1i * rr * e2i, -1, dtype=f32)
+            + jnp.sum(e1r * ri * e2i, -1, dtype=f32)
+            - jnp.sum(e1i * ri * e2r, -1, dtype=f32))
 
 
 def complex_all_subjects(all_codes, r, e2):

@@ -96,10 +96,21 @@ class Staircase2Layout(NamedTuple):
         return self.row_block.shape[0]
 
     def slot_rel(self) -> jax.Array:
-        """[S] relation id per slot (expanded from the group array)."""
+        """[S] relation id per slot (expanded from the group array).
+
+        Groups are laid out STRIDED within each chunk: group g owns rows
+        {g, g + Cg, ..., g + (T-1)·Cg} where Cg = chunk // group — the
+        placement that lets the kernel expand per-group weight rows with
+        ``pltpu.repeat`` (a tile-concatenate). So slot row r of a chunk
+        carries the relation of group r mod Cg.
+        """
         if self.group == 1:
             return self.group_rel
-        return jnp.repeat(self.group_rel, self.group)
+        cg = self.chunk // self.group
+        n_chunks = self.group_rel.shape[0] // cg
+        g2 = self.group_rel.reshape(n_chunks, 1, cg)
+        return jnp.broadcast_to(
+            g2, (n_chunks, self.group, cg)).reshape(-1)
 
 
 _S2_ARRAYS = ("sources", "slot_tgt", "perm", "weights", "local_rows",
@@ -230,15 +241,24 @@ def build_staircase2_layout(sources: np.ndarray, relations: np.ndarray,
         within_row = off_in_block % (k * chunk)
         grow = block_row0[s_blk] + row_in_block
         pos = grow * (k * chunk) + within_row
+        # group id from the CONTIGUOUS offsets (runs/groups never
+        # straddle chunks), giving global group slot chunk_seq*Cg + g.
+        gpos = pos // group
+        grel[gpos] = relations[order].astype(np.int32)
+        if group > 1:
+            # STRIDED within-chunk placement: group g's T slots sit at
+            # rows {g, g+Cg, ...} of its chunk (Cg = chunk // group), so
+            # the kernel expands per-group weight rows with the
+            # tile-concatenating ``pltpu.repeat``. Any within-block slot
+            # order is legal for the scatter (local_rows is per-slot).
+            cg = chunk // group
+            cpos = pos % chunk
+            pos = (pos - cpos) + (cpos % group) * cg + cpos // group
         src[pos] = sources[order].astype(np.int32)
         tgt[pos] = targets[order].astype(np.int32)
         perm[pos] = order.astype(np.int32)
         wts[pos] = weights[order]
         lrows[pos] = (targets[order] - s_blk * rb).astype(np.int32)
-        # group relations: group-padding slots inside a run share its
-        # relation; fully-empty groups keep 0.
-        gpos = pos // group
-        grel[gpos] = relations[order].astype(np.int32)
 
     for b in range(n_blocks):
         r0, r1 = block_row0[b], block_row0[b + 1]
@@ -344,22 +364,27 @@ def _scatter_kernel(rows_ref, msgs_ref, out_ref):
     _scatter_body_flat(rows_ref, msgs_ref[...], out_ref, pl.program_id(1))
 
 
-def _make_block_kernel(n_blocks_w: int, dr: int, n_rels: int):
+def _make_block_kernel(n_blocks_w: int, dr: int, n_rels: int, group: int):
     """Fused block-diagonal transform + scatter.
 
-    Per chunk: gather every slot's relation weight ROW with one MXU
-    matmul — Wg[C, dr*dr*B] = onehot(slot_rel)[C, R] @ W_flat[R, dr*dr*B]
-    — then apply the block transform as dr^2 full-chunk aligned VPU FMAs
-    on B-lane slices (j-major feature layout), then the one-hot scatter
+    Per chunk: gather the relation weight ROWS with one MXU matmul at
+    GROUP granularity — the layout guarantees every `group` consecutive
+    slots share one relation, so Wg[Cg, dr*dr*B] = onehot(group_rel)
+    [Cg, R] @ W_flat[R, dr*dr*B] costs `group`x fewer FLOPs than a
+    per-slot one-hot (the dominant MXU term of the kernel, see
+    docs/ROOFLINE.md §2) — then apply the block transform as dr^2
+    full-chunk VPU FMAs on B-lane slices (j-major feature layout) with
+    the group axis broadcast in-register, then the one-hot scatter
     matmul. No per-edge weight gathers touch HBM; W_flat stays
     VMEM-resident across the whole grid.
     """
     def kernel(rows_ref, rel_ref, x_ref, w_ref, out_ref, wg_ref, y_ref):
         j = pl.program_id(1)
 
-        rels = rel_ref[0, 0, :]                            # [C] int32
-        c = rels.shape[0]
-        rel_ids = jax.lax.broadcasted_iota(jnp.int32, (c, n_rels), 1)
+        rels = rel_ref[0, 0, :]                            # [Cg] int32
+        cg = rels.shape[0]
+        c = x_ref.shape[0]
+        rel_ids = jax.lax.broadcasted_iota(jnp.int32, (cg, n_rels), 1)
         onehot_rel = (rel_ids == rels[:, None]).astype(x_ref.dtype)
         wg_ref[...] = jnp.dot(onehot_rel, w_ref[...],
                               preferred_element_type=jnp.float32
@@ -368,9 +393,14 @@ def _make_block_kernel(n_blocks_w: int, dr: int, n_rels: int):
         for i_ in range(dr):
             acc = None
             for j_ in range(dr):
-                t = wg_ref[:, (i_ * dr + j_) * n_blocks_w:
-                           (i_ * dr + j_ + 1) * n_blocks_w] \
-                    * x_ref[:, j_ * n_blocks_w:(j_ + 1) * n_blocks_w]
+                w_sl = wg_ref[:, (i_ * dr + j_) * n_blocks_w:
+                              (i_ * dr + j_ + 1) * n_blocks_w]   # [Cg, B]
+                x_sl = x_ref[:, j_ * n_blocks_w:(j_ + 1) * n_blocks_w]
+                if group != 1:
+                    # strided group placement: row r holds group r % Cg,
+                    # exactly pltpu.repeat's tile-concatenate pattern
+                    w_sl = pltpu.repeat(w_sl, group, axis=0)  # [C, B]
+                t = w_sl * x_sl
                 acc = t if acc is None else acc + t
             y_ref[:, i_ * n_blocks_w:(i_ + 1) * n_blocks_w] = acc
 
@@ -434,38 +464,40 @@ def _call_scatter(msgs_sc: jax.Array, layout: Staircase2Layout,
     return out
 
 
-def _call_block(x_sc: jax.Array, w_j: jax.Array, slot_rel: jax.Array,
+def _call_block(x_sc: jax.Array, w_j: jax.Array, group_rel: jax.Array,
                 layout: Staircase2Layout, interpret: bool) -> jax.Array:
     """x_sc: [S, d] j-major gathered features; w_j: [R, dr*dr, B];
-    slot_rel: [S] relation per slot."""
-    c, k, rb = layout.chunk, layout.k, layout.rb
+    group_rel: [S // group] relation per slot group."""
+    c, k, rb, t = layout.chunk, layout.k, layout.rb, layout.group
+    cg = c // t
     d = x_sc.shape[1]
     r, dr2, n_blocks_w = w_j.shape
     dr = int(round(dr2 ** 0.5))
     n_rows = layout.n_rows
     w_flat = w_j.reshape(r, dr2 * n_blocks_w)
-    rel2d = slot_rel.reshape(-1, 1, c)
+    rel2d = group_rel.reshape(-1, 1, cg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_rows, k),
         in_specs=[
             pl.BlockSpec((1, 1, c), lambda i, j: (i * k + j, 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda i, j: (i * k + j, 0, 0)),
+            pl.BlockSpec((1, 1, cg), lambda i, j: (i * k + j, 0, 0)),
             pl.BlockSpec((c, d), lambda i, j: (i * k + j, 0)),
             pl.BlockSpec((r, dr2 * n_blocks_w), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((rb, d), lambda i, j: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((c, dr2 * n_blocks_w), x_sc.dtype),
+        scratch_shapes=[pltpu.VMEM((cg, dr2 * n_blocks_w), x_sc.dtype),
                         pltpu.VMEM((c, d), x_sc.dtype)],
     )
     out = pl.pallas_call(
-        _make_block_kernel(n_blocks_w, dr, r), grid_spec=grid_spec,
+        _make_block_kernel(n_blocks_w, dr, r, t), grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows * rb, d), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_rows * k * c * (rb * d + r * dr2 * n_blocks_w),
+            flops=2 * n_rows * k * (c * rb * d
+                                    + cg * r * dr2 * n_blocks_w),
             transcendentals=0,
             bytes_accessed=x_sc.size * x_sc.dtype.itemsize
             + n_rows * rb * d * 4),
@@ -560,7 +592,7 @@ def _block_direction_fwd_impl(features, blocks, pair, n_blocks_w,
     if compute_dtype is not None:
         x_sc = x_sc.astype(compute_dtype)
         w_j = w_j.astype(compute_dtype)
-    out_j = _finish(_call_block(x_sc, w_j, layout.slot_rel(), layout,
+    out_j = _finish(_call_block(x_sc, w_j, layout.group_rel, layout,
                                 interpret), layout, n_vertices)
     return from_jmajor(out_j, n_blocks_w)
 
@@ -583,26 +615,40 @@ def _block_direction_bwd_impl(pair, n_blocks_w, n_vertices, interpret,
     if compute_dtype is not None:
         gx_sc = gx_sc.astype(compute_dtype)
         w_jT = w_jT.astype(compute_dtype)
-    dfeats_j = _finish(_call_block(gx_sc, w_jT, twin.slot_rel(), twin,
+    dfeats_j = _finish(_call_block(gx_sc, w_jT, twin.group_rel, twin,
                                    interpret), twin, features.shape[0])
     dfeats = from_jmajor(dfeats_j, n_blocks_w)
 
-    # --- d blocks: group-wise outer products, reduced per relation ------
+    # --- d blocks: one-hot MXU reduction over slots ---------------------
     # dW_j[r, i*dr+j, b] = sum_{e in r} w_e g_j[tgt_e, i*B+b]
     #                                       x_j[src_e, j*B+b]
+    # Contract the slot axis on the MXU per output row i:
+    #   dW_i[r, j, b] = onehot(slot_rel)^T [R, S] @ (g_i * x)[S, j, b]
+    # — the elementwise product fuses into the matmul input, so the
+    # [S, dr^2, B] outer-product tensor of the naive formulation never
+    # materializes (4x faster measured; the backward's former dominant
+    # HBM term, docs/ROOFLINE.md §4).
+    n_slots = layout.n_slots
+    n_rels = blocks.shape[0]
+    cd = compute_dtype if compute_dtype is not None else jnp.float32
+    if interpret:
+        # CPU dot thunks don't support BF16 x BF16 -> F32 accumulation;
+        # the interpret/test path contracts in f32.
+        cd = jnp.float32
     feats_j = to_jmajor(features, n_blocks_w)
-    x_sc = jnp.take(feats_j, layout.sources, axis=0)
-    gw_sc = jnp.take(g_pad, jnp.minimum(layout.slot_tgt, layout.v_pad),
-                     axis=0) * layout.weights[:, None]
-    t = layout.group
-    n_groups = layout.n_slots // t
-    xg = x_sc.reshape(n_groups, t, dr, n_blocks_w)
-    gg = gw_sc.astype(x_sc.dtype).reshape(n_groups, t, dr, n_blocks_w)
-    dw_groups = jnp.einsum("gtib,gtjb->gijb", gg, xg)
-    dw_rel = jax.ops.segment_sum(
-        dw_groups.reshape(n_groups, -1), layout.group_rel,
-        num_segments=blocks.shape[0])
-    dw_j = dw_rel.reshape(blocks.shape[0], dr, dr, n_blocks_w)
+    x_sc = jnp.take(feats_j, layout.sources, axis=0).astype(cd)
+    gw_sc = (jnp.take(g_pad, jnp.minimum(layout.slot_tgt, layout.v_pad),
+                      axis=0) * layout.weights[:, None]).astype(cd)
+    onehot = (layout.slot_rel()[:, None]
+              == jnp.arange(n_rels, dtype=jnp.int32)[None, :]).astype(cd)
+    xg = x_sc.reshape(n_slots, dr, n_blocks_w)
+    dw_i = []
+    for i_ in range(dr):
+        p = gw_sc[:, i_ * n_blocks_w:(i_ + 1) * n_blocks_w][:, None, :] \
+            * xg                                         # [S, dr, B]
+        dw_i.append(jnp.einsum("sr,sjb->rjb", onehot, p,
+                               preferred_element_type=jnp.float32))
+    dw_j = jnp.stack(dw_i, axis=1)                       # [R, dr, dr, B]
     dblocks = jnp.transpose(dw_j, (0, 3, 1, 2)).astype(blocks.dtype)
     return dfeats.astype(features.dtype), dblocks
 

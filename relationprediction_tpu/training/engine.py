@@ -218,9 +218,15 @@ class _Prefetcher:
     bit-exact even with multi-threaded prefetch.
     """
 
-    def __init__(self, pipelines, depth: int = 4, start_offset: int = 0):
+    def __init__(self, pipelines, depth: int = 4, start_offset: int = 0,
+                 transform=None):
+        # transform: applied to each produced batch INSIDE the producer
+        # thread (e.g. an async jax.device_put, so host->device transfer
+        # overlaps the device's current step instead of serializing with
+        # the next dispatch).
         if not isinstance(pipelines, (list, tuple)):
             pipelines = [pipelines]
+        self.transform = transform
         self.pipelines = list(pipelines)
         n = len(self.pipelines)
         per_q = max(1, -(-depth // n))
@@ -241,6 +247,8 @@ class _Prefetcher:
         try:
             while not self.stop_flag:
                 batch = pipeline.next()
+                if self.transform is not None:
+                    batch = self.transform(batch)
                 item = (pipeline.state(), batch)
                 while not self.stop_flag:
                     try:
@@ -525,6 +533,11 @@ class TrainLoop:
         save_every = cfg.save_every_n or check_every
         report_every = cfg.report_train_loss_every
 
+        # (A producer-thread device_put transform was measured SLOWER on
+        # this environment's tunneled TPU — transfers contend with the
+        # main thread's dispatches — so batches ship at dispatch time;
+        # _Prefetcher.transform remains available for hosts where async
+        # placement wins.)
         source = _Prefetcher([self.pipeline] + self._extra_pipelines,
                              depth=2 * self.steps_per_dispatch,
                              start_offset=getattr(self, "_resume_rr", 0)) \
@@ -647,7 +660,9 @@ class TrainLoop:
                 else:
                     batches = [source.next() for _ in range(k)]
                     stacked = jax.tree_util.tree_map(
-                        lambda *xs: np.stack(xs), *batches)
+                        lambda *xs: jnp.stack(xs)
+                        if isinstance(xs[0], jax.Array) else np.stack(xs),
+                        *batches)
                     keys = jax.random.split(self.rng_key, k + 1)
                     self.rng_key = keys[0]
                     params, opt_state, losses = self._train_chunk(
