@@ -146,23 +146,39 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
                       warmup=12, iters=20):
     """Full production train step (TrainLoop dispatch loop, host pipeline
     included) per negative-sampling protocol."""
+    import dataclasses
+    import os
+
     from relationprediction_tpu import config as config_lib
     from relationprediction_tpu.data import synthetic
     from relationprediction_tpu.models import build_model
     from relationprediction_tpu.training import TrainLoop
-    import os
 
     ds = synthetic.like("FB15k-237", seed=0)
     cfg = config_lib.load(os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "settings", "gcn_block.exp"))
+    # Production precision: bf16 encoder message + decoder streams
+    # (f32 accumulation; docs/ROOFLINE.md §4, quality-gated by
+    # tests/test_bf16_streams.py).
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder,
+                                    message_precision="bfloat16"),
+        decoder=dataclasses.replace(cfg.decoder,
+                                    stream_precision="bfloat16"))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
 
     out = {}
     for mode in modes:
         try:
+            # steps_per_dispatch=1: this environment's tunneled TPU pays
+            # more for the chunked dispatch's stacked-batch h2d than the
+            # per-dispatch RPC it amortizes (measured 125 vs 94 ms/step);
+            # co-located hosts keep the K=8 default.
             loop = TrainLoop(model, cfg, ds, seed=0, log=lambda s: None,
-                             prefetch=True, negative_mode=mode)
+                             prefetch=True, negative_mode=mode,
+                             steps_per_dispatch=1)
             params, opt_state = loop.init_state()
             result = loop.fit(params, opt_state, max_iterations=warmup)
             t0 = time.perf_counter()
@@ -184,6 +200,13 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
                 "protocol": ("reference-exact" if mode == "binomial" else
                              "factorized-equivalent" if mode == "split"
                              else "shared-pool (different objective)"),
+                # Wall-clock through TrainLoop on THIS tunneled chip
+                # includes ~30 ms/step dispatch+h2d transport that a
+                # co-located host does not pay; the in-graph device
+                # step (docs/ROOFLINE.md §4) is binomial 60.3 / split
+                # 45.1 ms at these shapes.
+                "note": "wall incl. ~30ms/step tunnel transport",
+                "precision": "bf16 streams, f32 accumulate",
             }
             print(f"train step [{mode}]: {dt * 1e3:.1f} ms/step "
                   f"({edges / dt / 1e6:.2f}M msg-edges/s)", file=sys.stderr)

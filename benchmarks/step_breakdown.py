@@ -28,6 +28,8 @@ def main():
                    choices=["binomial", "split", "shared"])
     p.add_argument("--bf16", action="store_true",
                    help="bf16 encoder message + decoder stream precision")
+    p.add_argument("--exp", default="gcn_block",
+                   choices=["gcn_block", "gcn_basis"])
     args = p.parse_args()
 
     import jax
@@ -46,7 +48,7 @@ def main():
 
     ds = synthetic.like("FB15k-237", seed=0)
     cfg = config_lib.load(os.path.join(os.path.dirname(__file__), "..",
-                                       "settings", "gcn_block.exp"))
+                                       "settings", f"{args.exp}.exp"))
     if args.bf16:
         import dataclasses
         cfg = dataclasses.replace(
