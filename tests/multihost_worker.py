@@ -6,6 +6,15 @@ mesh through the production TrainLoop, and writes its result (last loss +
 parameter checksum) as JSON.
 
 Usage: python multihost_worker.py <pid> <nproc> <port> <local_devices> <out>
+           [mode] [ckpt_dir]
+
+mode: 'straight' (default) — fit 6 steps;
+      'phase1' — fit 3 steps, checkpointing at step 3, then EXIT (the
+                 simulated failure);
+      'phase2' — restart: restore the checkpoint and continue to step 6.
+The restart discipline: every process restores the same coordinator-
+written checkpoint (full train state incl. host RNG + pipeline states),
+so the resumed cluster reproduces the uninterrupted run bit-for-bit.
 """
 import json
 import os
@@ -15,6 +24,8 @@ import sys
 def main():
     pid, nproc, port, local_devices = map(int, sys.argv[1:5])
     out_path = sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "straight"
+    ckpt_dir = sys.argv[7] if len(sys.argv) > 7 else None
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -45,7 +56,8 @@ def main():
         cfg,
         encoder=dataclasses.replace(cfg.encoder, code_dimension=16,
                                     internal_dimension=16, n_bases=4),
-        decoder=dataclasses.replace(cfg.decoder, code_dimension=16))
+        decoder=dataclasses.replace(cfg.decoder, code_dimension=16),
+        optimizer=dataclasses.replace(cfg.optimizer, save_every_n=3))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
 
@@ -58,7 +70,12 @@ def main():
     loop = TrainLoop(model, cfg, ds, seed=7, prefetch=False,
                      steps_per_dispatch=1, log=log,
                      mesh=make_global_mesh(8))
-    res = loop.fit(max_iterations=6)
+    if mode == "phase1":
+        res = loop.fit(max_iterations=3, checkpoint_path=ckpt_dir)
+    elif mode == "phase2":
+        res = loop.resume(ckpt_dir, max_iterations=6)
+    else:
+        res = loop.fit(max_iterations=6)
 
     params = fetch_replicated(res.params)
     checksum = float(sum(np.abs(np.asarray(leaf)).sum()

@@ -39,16 +39,19 @@ def _clean_env():
     return env
 
 
-def _run_cluster(nproc, local_devices, tmpdir, timeout=600):
+def _run_cluster(nproc, local_devices, tmpdir, timeout=600, mode="straight",
+                 ckpt=None, tag=""):
     port = _free_port()
     procs, outs = [], []
     for pid in range(nproc):
-        out = os.path.join(tmpdir, f"proc{nproc}_{pid}.json")
+        out = os.path.join(tmpdir, f"proc{tag}{nproc}_{pid}.json")
         outs.append(out)
+        argv = [sys.executable, WORKER, str(pid), str(nproc), str(port),
+                str(local_devices), out]
+        if mode != "straight":
+            argv += [mode, ckpt]
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(nproc), str(port),
-             str(local_devices), out],
-            env=_clean_env(), stdout=subprocess.PIPE,
+            argv, env=_clean_env(), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True))
     results = []
     for p, out in zip(procs, outs):
@@ -76,3 +79,24 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert two[0]["last_loss"] == pytest.approx(one[0]["last_loss"],
                                                 rel=5e-4)
     assert two[0]["checksum"] == pytest.approx(one[0]["checksum"], rel=1e-3)
+
+
+def test_cluster_restart_resumes_bit_exact(tmp_path):
+    """Failure/restart discipline: a 2-process cluster that dies after
+    step 3 (having checkpointed) and is RESTARTED as a fresh cluster
+    continues to the same step-6 state as an uninterrupted run — the
+    coordinator-written checkpoint carries the full train state (params,
+    optimizer, device PRNG, host RNG, pipeline cursors) and every
+    process restores it identically."""
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    straight = _run_cluster(2, 4, str(tmp_path), tag="s")
+    _run_cluster(2, 4, str(tmp_path), mode="phase1", ckpt=ckpt, tag="p1")
+    resumed = _run_cluster(2, 4, str(tmp_path), mode="phase2", ckpt=ckpt,
+                           tag="p2")
+
+    assert resumed[0]["last_loss"] == pytest.approx(
+        straight[0]["last_loss"], rel=1e-5)
+    assert resumed[0]["checksum"] == pytest.approx(
+        straight[0]["checksum"], rel=1e-5)
+    assert resumed[0]["last_loss"] == pytest.approx(resumed[1]["last_loss"],
+                                                    rel=1e-6)
