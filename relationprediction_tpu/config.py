@@ -134,6 +134,13 @@ class EncoderConfig:
     # traffic; accumulation stays float32.
     message_precision: str = "float32"  # float32 | bfloat16
 
+    def __post_init__(self):
+        if self.message_precision not in ("float32", "bfloat16", "bf16"):
+            raise ValueError(
+                f"message_precision={self.message_precision!r} not in "
+                f"{{'float32', 'bfloat16', 'bf16'}} (a typo here would "
+                f"silently run float32)")
+
     @property
     def gcn_variant(self) -> str:
         """Per-layer variant dispatch, same precedence order as
@@ -163,6 +170,13 @@ class DecoderConfig:
     # at FB15k-237 scale, docs/ROOFLINE.md §4). "bfloat16" halves it;
     # energy/CE reductions and evaluation stay float32.
     stream_precision: str = "float32"  # float32 | bfloat16
+
+    def __post_init__(self):
+        if self.stream_precision not in ("float32", "bfloat16", "bf16"):
+            raise ValueError(
+                f"stream_precision={self.stream_precision!r} not in "
+                f"{{'float32', 'bfloat16', 'bf16'}} (a typo here would "
+                f"silently run float32)")
 
 
 @dataclass(frozen=True)

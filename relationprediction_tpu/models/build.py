@@ -406,6 +406,100 @@ class RGCNModel:
                                                      encoded.log_sigma)
         return loss
 
+    def loss_binomial_factored(self, params: Dict,
+                               graph: Optional[GraphBatch],
+                               positives: jax.Array, pos_mask: jax.Array,
+                               neg_values: jax.Array,
+                               corrupt_object: jax.Array, *,
+                               rng: Optional[jax.Array] = None,
+                               deterministic: bool = False,
+                               axis_name: Optional[str] = None
+                               ) -> jax.Array:
+        """The reference's EXACT binomial-corruption objective
+        (``auxilliaries.py:13-33`` + ``bilinear_diag.py:27-34``), computed
+        without materializing the (rate+1)-tiled triple batch.
+
+        Every negative shares two of its three codes with its positive
+        (the coin flip replaces one entity slot), and bilinear decoders
+        score a candidate entity against a per-positive factor
+        (``subject_factor`` / ``object_factor``). So instead of gathering
+        3 codes for each of (rate+1)·n tiled rows (~33n rows of HBM
+        traffic), gather the n positives' codes + 2n factors + rate·n
+        corrupted-entity codes (~15n rows) and select per-slot by the
+        coin flip. Same per-slot Bernoulli protocol, same CE mean, same
+        regularization means over the equivalent tiled rows — with
+        matched corruption draws (``device_negative_parts``) the loss
+        equals ``loss`` on ``device_negative_sample``'s tiled batch to
+        float tolerance (tests/test_factored_binomial.py).
+
+        positives: [n, 3]; pos_mask: [n]; neg_values: [n, rate] corrupted
+        entity ids; corrupt_object: [n, rate] bool (True -> object slot
+        replaced). Requires a factorizable decoder (DistMult/ComplEx).
+        """
+        if not getattr(self.decoder, "factorizable", False):
+            raise ValueError(f"decoder {self.decoder.name} does not support "
+                             "the factored binomial loss")
+        encoded = self.encode(params, graph, deterministic=deterministic,
+                              rng=rng, axis_name=axis_name)
+        encoded = self._stream_cast(encoded)
+        e1, r, e2 = self.gather_codes(encoded, positives)
+        dp = params["decoder"]
+        codes = encoded.entity_codes
+
+        pos_energy = self.decoder.energies(dp, e1, r, e2)          # [n]
+        q_subj = self.decoder.subject_factor(dp, r, e2)            # [n, d]
+        q_obj = self.decoder.object_factor(dp, e1, r)              # [n, d]
+        ev = codes[neg_values]                                     # [n,k,d]
+        neg_energy = jnp.where(
+            corrupt_object,
+            self.decoder.factored_energy(dp, ev, q_obj[:, None, :]),
+            self.decoder.factored_energy(dp, ev, q_subj[:, None, :]))
+        rate = neg_values.shape[1]
+
+        n = positives.shape[0]
+        energies = jnp.concatenate([pos_energy, neg_energy.reshape(-1)])
+        labels = jnp.concatenate(
+            [pos_mask, jnp.zeros((n * rate,), jnp.float32)])
+        # neg_energy is positive-major ([n, rate] flattened), so the mask
+        # repeats per positive (the tiled batch's layout is slot-major;
+        # the CE mean is order-independent).
+        mask = jnp.concatenate([pos_mask, jnp.repeat(pos_mask, rate)])
+        loss = decoders_lib.weighted_ce_loss(energies, labels, mask,
+                                             axis_name)
+
+        # Regularization means over the EQUIVALENT tiled rows
+        # (``bilinear_diag.py:63-69``): in the tiled batch, positive i's
+        # e1 survives in its positive row and its object-corrupted rows,
+        # e2 in its positive + subject-corrupted rows, r in all rate+1
+        # rows; each corrupted entity code appears once.
+        m = pos_mask
+        co = corrupt_object.astype(jnp.float32) * m[:, None]
+        n_obj = jnp.sum(co, axis=1)                                # [n]
+        n_subj = m * rate - n_obj
+        ev_sq = jnp.sum(ev.astype(jnp.float32) ** 2, axis=-1)      # [n,k]
+        e1_sq = (jnp.sum(jnp.sum(e1.astype(jnp.float32) ** 2, -1)
+                         * m * (1.0 + n_obj))
+                 + jnp.sum(ev_sq * (m[:, None] - co)))
+        e2_sq = (jnp.sum(jnp.sum(e2.astype(jnp.float32) ** 2, -1)
+                         * m * (1.0 + n_subj))
+                 + jnp.sum(ev_sq * co))
+        r_sq = jnp.sum(jnp.sum(r.astype(jnp.float32) ** 2, -1) * m) \
+            * (rate + 1)
+        d = e1.shape[-1]
+        count = jnp.maximum(jnp.sum(m), 1.0) * (rate + 1) * d
+        if axis_name is not None:
+            e1_sq = jax.lax.psum(e1_sq, axis_name)
+            e2_sq = jax.lax.psum(e2_sq, axis_name)
+            r_sq = jax.lax.psum(r_sq, axis_name)
+            count = jax.lax.psum(count, axis_name)
+        reg = (e1_sq + e2_sq + r_sq) / count
+        loss = loss + self.decoder.regularization_parameter * reg
+
+        if self.variational and encoded.mu is not None:
+            loss = loss + enc.variational_kl_penalty(encoded.mu,
+                                                     encoded.log_sigma)
+        return loss
+
     def loss_structured(self, params: Dict, graph: Optional[GraphBatch],
                         positives: jax.Array, pos_mask: jax.Array,
                         neg_subjects: jax.Array, neg_objects: jax.Array, *,

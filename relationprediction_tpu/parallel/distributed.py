@@ -88,6 +88,19 @@ def make_global_mesh(n_devices: Optional[int] = None) -> Mesh:
     device count so every process contributes whole chips)."""
     devices = jax.devices()
     if n_devices is not None:
+        per_proc = jax.local_device_count()
+        if n_devices % per_proc:
+            raise ValueError(
+                f"n_devices={n_devices} must be a multiple of the "
+                f"per-process device count ({per_proc}): truncating "
+                f"jax.devices() mid-process would leave some processes "
+                f"with partial (or zero) device ownership and their "
+                f"local batch rows unaddressable")
+        if n_devices < per_proc * jax.process_count():
+            raise ValueError(
+                f"n_devices={n_devices} excludes whole processes "
+                f"({jax.process_count()} processes x {per_proc} devices); "
+                f"every participating process must contribute devices")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (EDGE_AXIS,))
 

@@ -98,8 +98,10 @@ def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
     ('shared' uses one replicated pool by construction).
     """
     from ..training.device_sampling import (device_negative_entities_split,
+                                            device_negative_parts,
                                             device_negative_sample)
     n_entities = model.n_entities
+    factorizable = getattr(model.decoder, "factorizable", False)
 
     def step(params, opt_state, graph, triples, labels, mask, rng):
         def loss_fn(p):
@@ -123,6 +125,14 @@ def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
                     p, graph, triples, mask, neg_s, neg_o, rng=rng,
                     deterministic=False, axis_name=EDGE_AXIS)
             if negative_mode == "binomial":
+                if factorizable:
+                    # Same per-slot coin-flip objective, computed through
+                    # the factored formulation (2x less decoder traffic).
+                    values, co = device_negative_parts(
+                        triples, negative_rate, n_entities, shard_rng)
+                    return model.loss_binomial_factored(
+                        p, graph, triples, mask, values, co, rng=rng,
+                        deterministic=False, axis_name=EDGE_AXIS)
                 t, y, m = device_negative_sample(
                     triples, mask, negative_rate, n_entities, shard_rng)
                 return model.loss(p, graph, t, y, m, rng=rng,

@@ -32,11 +32,12 @@ basis_times_diag} with a dense input transform and no skip connections.
 ``gcn_basis.exp``/``gcn_block.exp``; skip connections and the variational
 stage remain edge-partitioned-only.)
 
-Train-mode note: the self-loop dropout mask is drawn over the FULL [V, d]
-activation shape on every shard and row-sliced, so sharded and single-chip
-training losses match bit-for-bit. For beyond-HBM V this mask should be
-drawn per-shard instead (one fold_in per shard) — cheaper, same
-distribution, different stream.
+Train-mode note: the self-loop dropout mask is drawn PER SHARD by default
+(``dropout_mode='per_shard'``: an O(rows_per x d) mask from the step rng
+folded with the shard index — same distribution as single-chip, different
+stream), so training never allocates O(V x d) per chip. The
+``'full_parity'`` mode draws the single-chip [V, d] mask and row-slices it
+for the bit-exact parity tests only.
 """
 from __future__ import annotations
 
@@ -820,6 +821,14 @@ class VertexShardedModelView:
         self._codes = None
 
     def invalidate(self) -> None:
+        """Drop the cached encoded codes.
+
+        Cache contract: ``_encoded`` keys on the params OBJECT (``is``
+        identity, a strong reference). Handing in a new params pytree
+        re-encodes automatically; mutating the SAME pytree's leaves in
+        place between calls would serve stale codes — call invalidate()
+        after any in-place update (the training engine always produces
+        fresh pytrees, so this only matters for hand-driven use)."""
         self._key = None
         self._codes = None
 
@@ -837,6 +846,10 @@ class VertexShardedModelView:
     def _chunk(self, triples):
         t = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
         n = t.shape[0]
+        if n == 0:
+            # np.repeat of an empty t[-1:] would crash; pad with zeros and
+            # let callers slice back to [:0].
+            return np.zeros((self.chunk_pad, 3), dtype=np.int32), 0
         # Chunks at or under chunk_pad share one compiled executable.
         pad = self.chunk_pad if n <= self.chunk_pad else _round_up(n, 8)
         if n < pad:

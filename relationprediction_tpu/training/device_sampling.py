@@ -45,6 +45,34 @@ def device_negative_sample(positives: jax.Array, pos_mask: jax.Array,
     return triples, labels, mask
 
 
+def device_negative_parts(positives: jax.Array, rate: int, n_entities: int,
+                          key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """The binomial corruption WITHOUT materializing the tiled batch.
+
+    Draws the exact same random stream as ``device_negative_sample`` (same
+    key -> same corruptions, just laid out [n, rate] instead of as tiled
+    rows), for the factored binomial loss
+    (``RGCNModel.loss_binomial_factored``): each negative shares two of
+    its three codes with its positive, so the loss needs only the
+    corrupted-entity ids and the subject/object coin flips.
+
+    Returns (values [n, rate] int32 corrupted-entity ids,
+             corrupt_object [n, rate] bool — True: the OBJECT slot is
+             replaced by the value; False: the subject slot is).
+    """
+    n = positives.shape[0]
+    n_neg = n * rate
+    k_coin, k_val = jax.random.split(key)
+    # Same flat draws as device_negative_sample; tiled row j*n+i is
+    # (positive i, copy j), so reshape(rate, n).T gives [n, rate].
+    corrupt_object = jax.random.bernoulli(
+        k_coin, 0.5, (n_neg,)).reshape(rate, n).T
+    values = jax.random.randint(
+        k_val, (n_neg,), 0, n_entities,
+        dtype=positives.dtype).reshape(rate, n).T
+    return values, corrupt_object
+
+
 def device_negative_entities_split(positives: jax.Array, rate: int,
                                    n_entities: int, key: jax.Array):
     """Split-protocol corruption for the structured (factorized) loss:
