@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.staircase import StaircaseLayout, build_staircase_layout
-from .ops.staircase2 import Staircase2Pair, build_staircase2_pair
+from .ops.staircase2 import (Staircase2Pair, build_staircase2_pair,
+                             build_staircase2_pair_sharded)
 
 
 class GraphBatch(NamedTuple):
@@ -160,8 +161,11 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
     direction, for the block/basis encoder variants. s2_pad_rows=True (the
     default whenever ``pad_to`` is given) pads the grid-row count to a
     bound that is a pure function of (pad size, rb, chunk, k), keeping
-    executables static across resampled subgraphs. Single-chip only
-    (dropped under a mesh by parallel/mesh.py).
+    executables static across resampled subgraphs. With ``sc_shards > 1``
+    the layouts are built SHARD-LOCAL (one per contiguous edge block,
+    concatenated along the leading axis) so the fused kernel runs under an
+    edge-partitioned mesh of exactly that size; parallel/mesh.py drops
+    layouts whose shard count mismatches the mesh.
     """
     triples = np.asarray(triples, dtype=np.int32).reshape(-1, 3)
     n = triples.shape[0]
@@ -227,7 +231,7 @@ def build_graph_batch(triples: np.ndarray, n_vertices: int, n_relations: int,
             senders, relations, receivers, fwd, bwd, n_vertices,
             n_relations, s2_rb, s2_chunk, s2_k,
             s2_pad_rows if s2_pad_rows is not None
-            else pad_to is not None, to_device)
+            else pad_to is not None, to_device, shards=sc_shards)
 
     dev = jnp.asarray if to_device else (lambda x: x)
     b_arrays = {}
@@ -280,15 +284,23 @@ def _staircase_layouts(senders, receivers, fwd_norm, bwd_norm, n_vertices,
 
 def _staircase2_pairs(senders, relations, receivers, fwd_norm, bwd_norm,
                       n_vertices, n_relations, s2_rb, s2_chunk, s2_k,
-                      pad_rows, to_device):
+                      pad_rows, to_device, shards: int = 1):
     """Fused v2 layout pairs for both directions.
 
     When pad_rows is set, the grid-row count is padded to a bound that is
     a pure function of (edge pad size, n_vertices, rb, chunk, k) — and k
     itself is fixed from the pad size — so repeated builds over resampled
     subgraphs produce identical static shapes (one executable).
+
+    shards > 1 builds SHARD-LOCAL layouts for edge-partitioned mesh
+    execution (ops/staircase2.build_staircase2_pair_sharded): per-shard
+    bounds are pure functions of the per-shard pad size, and pad_rows is
+    forced on (static per-shard shapes are required for concatenation).
     """
     e_pad = senders.shape[0]
+    if shards > 1:
+        pad_rows = True
+        e_pad = e_pad // shards  # bounds below are per shard
     n_blocks = -(-n_vertices // s2_rb)
     # Relation-group size for the fused layouts. group>1 shrinks the
     # kernel's one-hot weight-row matmul and the backward's dW stream by
@@ -318,6 +330,18 @@ def _staircase2_pairs(senders, relations, receivers, fwd_norm, bwd_norm,
         # rows_b <= padded_b/(k*chunk) + 1 per non-empty block, and
         # sum(padded_b) <= slot_bound.
         bound = n_blocks + -(-slot_bound // (s2_k * s2_chunk))
+    if shards > 1:
+        sc2_fwd = build_staircase2_pair_sharded(
+            senders, relations, receivers, fwd_norm, n_vertices,
+            shards=shards, direction="forward", rb=s2_rb, chunk=s2_chunk,
+            k=k_arg, group=group, pad_rows_to=bound,
+            twin_pad_rows_to=bound, to_device=to_device)
+        sc2_bwd = build_staircase2_pair_sharded(
+            senders, relations, receivers, bwd_norm, n_vertices,
+            shards=shards, direction="backward", rb=s2_rb, chunk=s2_chunk,
+            k=k_arg, group=group, pad_rows_to=bound,
+            twin_pad_rows_to=bound, to_device=to_device)
+        return sc2_fwd, sc2_bwd
     sc2_fwd = build_staircase2_pair(
         senders, relations, receivers, fwd_norm, n_vertices,
         direction="forward", rb=s2_rb, chunk=s2_chunk, k=k_arg,
@@ -412,7 +436,8 @@ def _build_bucketed(triples: np.ndarray, n_vertices: int, n_relations: int,
                              "normalization")
         sc2_fwd, sc2_bwd = _staircase2_pairs(
             senders, relations, receivers, fwd, bwd, n_vertices,
-            n_relations, s2_rb, s2_chunk, s2_k, s2_pad_rows, to_device)
+            n_relations, s2_rb, s2_chunk, s2_k, s2_pad_rows, to_device,
+            shards=sc_shards)
 
     dev = jnp.asarray if to_device else (lambda x: x)
     return GraphBatch(

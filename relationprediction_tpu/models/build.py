@@ -231,18 +231,18 @@ class RGCNModel:
 
         staircase2: build the FUSED v2 layouts (ops/staircase2.py) —
         gather + relational transform + scatter in one kernel pass per
-        direction. Default: on for single-chip block/basis models with an
-        input transform (``preferred_staircase2``); the v1 layouts are
-        skipped in that case (they'd be dead weight).
+        direction. Default: on for block/basis models with an input
+        transform (``preferred_staircase2``); the v1 layouts are skipped
+        in that case (they'd be dead weight). With sc_shards > 1 the
+        layouts are shard-local so the fused kernel runs under the mesh.
 
         staircase: build the per-direction v1 staircase scatter layouts
         (ops/staircase.py). Default: on for GCN variants not covered by
-        v2 (and always under a multi-chip layout, sc_shards > 1, which v2
-        does not support yet).
+        v2.
         """
         from ..graph import build_graph_batch
         if staircase2 is None:
-            staircase2 = self.preferred_staircase2 and sc_shards == 1
+            staircase2 = self.preferred_staircase2
         bucket = self.preferred_bucket_size
         if staircase2:
             # the fused kernel needs no relation bucketing; the plain
@@ -265,10 +265,10 @@ class RGCNModel:
     def graph_pad_bound(self, n_edges: int, sharded: bool = False) -> int:
         """A fixed pad size that accommodates any n_edges-edge subgraph in
         the preferred layout (worst-case relation-padding included).
-        ``sharded``: bound for a multi-chip layout (which keeps relation
-        bucketing — the fused v2 layout is single-chip only)."""
+        ``sharded``: bound for a multi-chip layout (relation bucketing
+        still applies to variants not covered by the fused v2 layout)."""
         b = self.preferred_bucket_size
-        if b is None or (self.preferred_staircase2 and not sharded):
+        if b is None or self.preferred_staircase2:
             # plain / fused-v2 layouts carry no relation padding
             return max(-(-n_edges // 128) * 128, 128)
         return n_edges + self.n_relations * (b - 1)

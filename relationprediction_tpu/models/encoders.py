@@ -268,9 +268,13 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
     # Fully-fused v2 path (ops/staircase2.py): gather + relational
     # transform + one-hot scatter in ONE kernel pass per direction; the
     # [E, d] message stream never exists in HBM. Available for the
-    # block/basis variants with dense input.
+    # block/basis variants with dense input. Under a mesh (axis_name set)
+    # the layouts are shard-local (graph.py sc_shards) — each device runs
+    # the fused kernel over its own edge shard with globally-correct
+    # weights and the partial [V, d] sums are psum'd, exactly like the
+    # segment-sum path.
     if graph.sc2_fwd is not None and features is not None \
-            and axis_name is None and variant in ("block", "basis"):
+            and variant in ("block", "basis"):
         interp = staircase2_lib.default_interpret()
         if variant == "block":
             collected_f = staircase2_lib.block_direction(
@@ -290,8 +294,11 @@ def apply_gcn_layer(params: Dict, variant: str, graph: GraphBatch,
             collected_b = staircase2_lib.basis_direction(
                 features, wb, params["C_backward"], graph.sc2_bwd, n_bases,
                 n_vertices, interp, agg_dtype)
+        combined = collected_f + collected_b
+        if axis_name is not None:
+            combined = jax.lax.psum(combined, axis_name)
         return _combine_with_self_loop(
-            params, variant, features, collected_f + collected_b,
+            params, variant, features, combined,
             use_nonlinearity=use_nonlinearity, dropout_keep=dropout_keep,
             deterministic=deterministic, rng=rng)
 

@@ -70,6 +70,11 @@ class Staircase2Layout(NamedTuple):
     direct:    static; True when row r writes block r exactly (n_rows ==
                n_blocks, no splits/padding) so the finishing segment-sum
                can be skipped.
+    shards:    static; >1 when the arrays are a leading-axis concatenation
+               of per-shard layouts for edge-partitioned mesh execution —
+               sharding every array on its leading axis hands each device
+               exactly its own shard's layout (slot indices, perm, and
+               grid rows are shard-local by construction).
     """
 
     sources: jax.Array
@@ -86,6 +91,7 @@ class Staircase2Layout(NamedTuple):
     v_pad: int
     n_blocks: int
     direct: bool
+    shards: int = 1
 
     @property
     def n_slots(self) -> int:
@@ -115,7 +121,8 @@ class Staircase2Layout(NamedTuple):
 
 _S2_ARRAYS = ("sources", "slot_tgt", "perm", "weights", "local_rows",
               "group_rel", "row_block")
-_S2_STATIC = ("rb", "chunk", "k", "group", "v_pad", "n_blocks", "direct")
+_S2_STATIC = ("rb", "chunk", "k", "group", "v_pad", "n_blocks", "direct",
+              "shards")
 
 jax.tree_util.register_pytree_node(
     Staircase2Layout,
@@ -301,6 +308,79 @@ def build_staircase2_pair(senders: np.ndarray, relations: np.ndarray,
                                    rb=rb, chunk=chunk, k=k, group=group,
                                    pad_rows_to=twin_pad_rows_to,
                                    to_device=to_device)
+    return Staircase2Pair(fwd=fwd, twin=twin)
+
+
+def _concat_layouts(layouts) -> Staircase2Layout:
+    """Stack per-shard layouts along the leading axis of every array.
+
+    All shards must share identical static fields and per-shard array
+    shapes (guaranteed by building each with the same pad bounds). The
+    result is only meaningful under a mesh that shards every array's
+    leading axis across exactly ``len(layouts)`` devices — each device
+    then sees precisely one shard's layout. Never call the kernels on the
+    concatenated view directly (its row/slot indices are shard-local).
+    """
+    first = layouts[0]
+    for lo in layouts[1:]:
+        for f in _S2_STATIC[:-1]:
+            if getattr(lo, f) != getattr(first, f):
+                raise ValueError(f"shard layouts disagree on {f}")
+        for f in _S2_ARRAYS:
+            if getattr(lo, f).shape != getattr(first, f).shape:
+                raise ValueError(f"shard layouts disagree on {f} shape")
+    arrays = {f: np.concatenate([np.asarray(getattr(lo, f))
+                                 for lo in layouts], axis=0)
+              for f in _S2_ARRAYS}
+    statics = {f: getattr(first, f) for f in _S2_STATIC[:-1]}
+    return Staircase2Layout(**arrays, **statics, shards=len(layouts))
+
+
+def build_staircase2_pair_sharded(senders: np.ndarray,
+                                  relations: np.ndarray,
+                                  receivers: np.ndarray,
+                                  weights: np.ndarray, n_vertices: int, *,
+                                  shards: int, direction: str = "forward",
+                                  rb: int = 256, chunk: int = 512,
+                                  k: Optional[int] = None, group: int = 8,
+                                  pad_rows_to: Optional[int] = None,
+                                  twin_pad_rows_to: Optional[int] = None,
+                                  to_device: bool = True) -> Staircase2Pair:
+    """Shard-local fused layouts for edge-partitioned mesh execution.
+
+    The [E_pad] edge arrays are cut into ``shards`` contiguous blocks
+    (matching the mesh's edge partitioning of the GraphBatch); each block
+    gets its own fwd/twin layout built against the GLOBAL normalization
+    weights, padded to identical static bounds, then concatenated so that
+    P('edges') sharding hands each device its own layout. Each device's
+    kernel pass produces its shard's partial [V, d] aggregation; one psum
+    reconstitutes the exact full-graph result (graph.py module notes).
+    """
+    e_pad = senders.shape[0]
+    if e_pad % shards:
+        raise ValueError(f"edge pad {e_pad} not divisible by shards "
+                         f"{shards}")
+    if pad_rows_to is None or twin_pad_rows_to is None:
+        raise ValueError("sharded layouts require explicit pad bounds "
+                         "(static per-shard shapes)")
+    per = e_pad // shards
+    fwds, twins = [], []
+    for s in range(shards):
+        sl = slice(s * per, (s + 1) * per)
+        pair = build_staircase2_pair(
+            senders[sl], relations[sl], receivers[sl], weights[sl],
+            n_vertices, direction=direction, rb=rb, chunk=chunk, k=k,
+            group=group, pad_rows_to=pad_rows_to,
+            twin_pad_rows_to=twin_pad_rows_to, to_device=False)
+        fwds.append(pair.fwd)
+        twins.append(pair.twin)
+    fwd = _concat_layouts(fwds)
+    twin = _concat_layouts(twins)
+    if to_device:
+        dev = jnp.asarray
+        fwd = fwd._replace(**{f: dev(getattr(fwd, f)) for f in _S2_ARRAYS})
+        twin = twin._replace(**{f: dev(getattr(twin, f))
+                                for f in _S2_ARRAYS})
     return Staircase2Pair(fwd=fwd, twin=twin)
 
 

@@ -60,14 +60,14 @@ def _mesh_compatible(graph: Optional[GraphBatch], n_devices: int
                      ) -> Optional[GraphBatch]:
     """Drop staircase layouts that were not built for this mesh size.
 
-    A v1 staircase layout is only shardable when it was built with
-    ``sc_shards == n_devices`` (each device's chunk list must reference its
-    own contiguous edge shard); otherwise fall back to the segment-sum
-    aggregation, which is exact under edge sharding. The fused v2 layouts
-    (sc2_*) are single-chip only and are always dropped here."""
+    A staircase layout (v1 or fused v2) is only shardable when it was
+    built with ``sc_shards == n_devices`` — each device's layout must
+    reference its own contiguous edge shard. Otherwise fall back to the
+    segment-sum aggregation, which is exact under edge sharding."""
     if graph is None:
         return graph
-    if graph.sc2_fwd is not None:
+    if graph.sc2_fwd is not None \
+            and graph.sc2_fwd.fwd.shards != n_devices:
         graph = graph._replace(sc2_fwd=None, sc2_bwd=None)
     if graph.sc_fwd is None:
         return graph
@@ -140,10 +140,15 @@ def make_sharded_train_step(model: RGCNModel, optimizer, mesh: Mesh,
             raise ValueError(f"unknown negative_mode {negative_mode!r}")
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        # Per-device grads carry only the local shard's contribution
-        # (the psum'd loss backpropagates as identity); reduce them so
-        # every device applies the identical global update.
-        grads = jax.lax.psum(grads, EDGE_AXIS)
+        # Per-device semantics of the in-body value_and_grad: the loss's
+        # internal psum'd reductions transpose back to ANOTHER psum, so
+        # each device's grad is (mesh size) x its local-shard contribution
+        # of the true global gradient. pmean (not psum) therefore
+        # reconstitutes the exact global gradient — verified leaf-exact
+        # against the single-chip step in tests/test_staircase2_mesh.py
+        # and tests/test_parallel.py (SGD parity, scale-sensitive; Adam's
+        # scale-invariance would mask a wrong reduction).
+        grads = jax.lax.pmean(grads, EDGE_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
         return params, opt_state, loss

@@ -120,8 +120,13 @@ def test_sharded_staircase_parity(toy_dataset):
     n = mesh.devices.size
     pad = model.graph_pad_bound(len(ds.train))
     pad = -(-pad // n) * n
-    g_single = model.make_graph(ds.train, pad_to=pad)
-    g_sharded = model.make_graph(ds.train, pad_to=pad, sc_shards=n)
+    # Request the v1 layouts explicitly: block/basis models now default to
+    # the fused v2 layouts (tests/test_staircase2_mesh.py), but v1 remains
+    # the sharded path for the variants v2 does not cover.
+    g_single = model.make_graph(ds.train, pad_to=pad, staircase=True,
+                                staircase2=False)
+    g_sharded = model.make_graph(ds.train, pad_to=pad, sc_shards=n,
+                                 staircase=True, staircase2=False)
     assert g_sharded.sc_fwd is not None
     assert g_sharded.sc_fwd.shards == n
 
