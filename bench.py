@@ -128,6 +128,10 @@ def bench_layer(jax):
     dt_f32, _ = timed(layer(g_prod), params, features)
     dt_v1, _ = timed(layer(g_v1), params, features)
     dt_base, c2 = timed(layer(g_flat), params, features)
+    # Same-precision baseline: the reference-style formulation ALSO in
+    # bf16 streams, so the headline vs_baseline ratio never mixes
+    # precisions (round-3 verdict item).
+    dt_base_bf16, _ = timed(layer(g_flat, jnp.bfloat16), params, features)
 
     print(f"block R-GCN layer (fused v2, bf16): {dt * 1e3:.2f} ms "
           f"({E / dt / 1e6:.2f}M edges/s, compile {c1:.0f}s); "
@@ -135,11 +139,13 @@ def bench_layer(jax):
           f"({E / dt_f32 / 1e6:.2f}M edges/s); "
           f"round-2 v1 staircase: {dt_v1 * 1e3:.2f} ms "
           f"({E / dt_v1 / 1e6:.2f}M edges/s); "
-          f"reference-style per-edge gather: {dt_base * 1e3:.2f} ms "
-          f"({E / dt_base / 1e6:.2f}M edges/s, compile {c2:.0f}s)",
+          f"reference-style per-edge gather: f32 {dt_base * 1e3:.2f} ms / "
+          f"bf16 {dt_base_bf16 * 1e3:.2f} ms "
+          f"({E / dt_base_bf16 / 1e6:.2f}M edges/s, compile {c2:.0f}s)",
           file=sys.stderr)
     return dict(edges=E, dt=dt, dt_f32=dt_f32, dt_v1=dt_v1,
-                dt_base=dt_base)
+                dt_base=dt_base, dt_base_bf16=dt_base_bf16,
+                compile_s=c1)
 
 
 def bench_train_steps(jax, modes=("binomial", "split", "shared"),
@@ -203,8 +209,8 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
                 # Wall-clock through TrainLoop on THIS tunneled chip
                 # includes ~30 ms/step dispatch+h2d transport that a
                 # co-located host does not pay; the in-graph device
-                # step (docs/ROOFLINE.md §4) is binomial 60.3 / split
-                # 45.1 ms at these shapes.
+                # step (docs/ROOFLINE.md §4) is binomial(factored) 45.3
+                # / split 45.1 ms at these shapes.
                 "note": "wall incl. ~30ms/step tunnel transport",
                 "precision": "bf16 streams, f32 accumulate",
             }
@@ -227,13 +233,19 @@ def main() -> None:
         "metric": "relational_spmm_block_edges_per_sec_per_chip",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
-        "vs_baseline": round(layer["dt_base"] / layer["dt"], 3),
+        # SAME-precision ratio: fused bf16 layer vs reference-style bf16
+        # layer on the same chip (f32/f32 ratio in extra).
+        "vs_baseline": round(layer["dt_base_bf16"] / layer["dt"], 3),
         "extra": {
             "layer_ms": round(layer["dt"] * 1e3, 3),
             "layer_f32_ms": round(layer["dt_f32"] * 1e3, 3),
             "layer_v1_staircase_ms": round(layer["dt_v1"] * 1e3, 3),
             "vs_round2_v1": round(layer["dt_v1"] / layer["dt"], 3),
             "reference_style_layer_ms": round(layer["dt_base"] * 1e3, 3),
+            "reference_style_layer_bf16_ms":
+                round(layer["dt_base_bf16"] * 1e3, 3),
+            "vs_baseline_f32": round(layer["dt_base"] / layer["dt_f32"], 3),
+            "layer_compile_s": round(layer["compile_s"], 1),
             "train_step": steps,
             "device": str(jax.devices()[0]),
         },

@@ -1,13 +1,21 @@
 #!/usr/bin/env python
-"""End-to-end capstone: train + evaluate at FB15k-237 scale on the TPU.
+"""End-to-end capstone: train gcn_block to convergence at FB15k-237 scale.
 
 Uses the learnable synthetic KG (ground-truth DistMult generator at the
-real dataset's vital statistics) since the public train splits are absent
-from this environment. Demonstrates the full production path: neighborhood
-batching, device negatives, chunked dispatch, validation-MRR early-stopping
-checks, checkpointing, and full filtered-MRR evaluation — and that the
-model actually learns (filtered MRR >> 1/|E|).
+real dataset's vital statistics: 14,541 entities / 237 relations / 272k
+train triples) since the public train splits are absent from this
+environment. Runs the FULL production pipeline exactly as a user would:
+neighborhood batching, the reference's binomial negative protocol
+(factored), validation-filtered-MRR early stopping at the reference
+cadence (CheckEvery/Burnin from the .exp), periodic checkpoints, a
+mid-run kill + bit-exact resume, and a final full filtered-MRR/Hits@k
+evaluation. The validation trajectory is logged as JSONL via
+--metrics; results are recorded in docs/QUALITY.md.
+
+    python benchmarks/e2e_quality_run.py --exp gcn_block \
+        --metrics /tmp/quality_run.jsonl --ckpt /tmp/quality_ckpt
 """
+import argparse
 import os
 import sys
 import time
@@ -18,6 +26,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", default="gcn_block")
+    p.add_argument("--mode", default="binomial",
+                   choices=["binomial", "split", "shared"])
+    p.add_argument("--max-iterations", type=int, default=40000,
+                   help="Safety cap; early stopping normally fires first.")
+    p.add_argument("--check-every", type=int, default=None,
+                   help="Override EarlyStopping CheckEvery (default: .exp).")
+    p.add_argument("--burnin", type=int, default=None)
+    p.add_argument("--metrics", default="/tmp/quality_run.jsonl")
+    p.add_argument("--ckpt", default="/tmp/quality_ckpt")
+    p.add_argument("--resume-at", type=int, default=4000,
+                   help="Simulate a crash after this many iterations and "
+                        "resume from the checkpoint (0 = no resume demo).")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--valid-size", type=int, default=5000)
+    args = p.parse_args()
+
     import dataclasses
 
     import jax
@@ -31,10 +57,6 @@ def main():
     from relationprediction_tpu.models.build import JittedModelView
     from relationprediction_tpu.training import TrainLoop
 
-    exp = sys.argv[1] if len(sys.argv) > 1 else "gcn_basis"
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 800
-    mode = sys.argv[3] if len(sys.argv) > 3 else "split"
-
     t0 = time.time()
     ds = synthetic.learnable(14541, 237, 272115, 5000, 5000,
                              latent_dim=16, temperature=1.0, seed=0,
@@ -42,7 +64,23 @@ def main():
     print(f"dataset generated in {time.time() - t0:.0f}s", flush=True)
 
     cfg = config_lib.load(os.path.join(os.path.dirname(__file__), "..",
-                                       "settings", f"{exp}.exp"))
+                                       "settings", f"{args.exp}.exp"))
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg,
+            encoder=dataclasses.replace(cfg.encoder,
+                                        message_precision="bfloat16"),
+            decoder=dataclasses.replace(cfg.decoder,
+                                        stream_precision="bfloat16"))
+    if args.check_every or args.burnin:
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(
+                cfg.optimizer,
+                early_stopping_check_every=(args.check_every or
+                                            cfg.optimizer.
+                                            early_stopping_check_every),
+                early_stopping_burnin=(args.burnin or
+                                       cfg.optimizer.early_stopping_burnin)))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
     view = JittedModelView(model)
@@ -59,23 +97,55 @@ def main():
     scorer.register_model(view, None, eval_graph, n_entities=ds.n_entities)
     scorer.finalize_frequency_computation(ds.all_triples())
 
-    loop = TrainLoop(model, cfg, ds, seed=0, negative_mode=mode)
+    valid = ds.valid[:args.valid_size]
+
+    def score_validation(params) -> float:
+        scorer.set_params(params)
+        t0 = time.time()
+        summary = scorer.compute_scores(valid)
+        mrr = summary.results["Filtered"]["MRR"]
+        print(f"  [check] filtered MRR {mrr:.4f} "
+              f"(eval {time.time() - t0:.0f}s)", flush=True)
+        return mrr
+
+    def make_loop():
+        return TrainLoop(model, cfg, ds, seed=0,
+                         scoring_function=score_validation,
+                         negative_mode=args.mode,
+                         metrics_path=args.metrics,
+                         steps_per_dispatch=1)
+
+    loop = make_loop()
     t0 = time.time()
-    result = loop.fit(max_iterations=iters)
+    if args.resume_at:
+        print(f"phase A: {args.resume_at} iterations, then simulated "
+              f"crash + resume", flush=True)
+        loop.fit(max_iterations=args.resume_at, checkpoint_path=args.ckpt)
+        print(f"-- simulated crash at iteration {args.resume_at}; "
+              f"rebuilding the loop and resuming from {args.ckpt} --",
+              flush=True)
+        loop = make_loop()  # fresh process state, as after a real crash
+        result = loop.resume(args.ckpt,
+                             max_iterations=args.max_iterations,
+                             )
+    else:
+        result = loop.fit(max_iterations=args.max_iterations,
+                          checkpoint_path=args.ckpt)
     train_wall = time.time() - t0
     print(f"trained {result.iterations} iterations in {train_wall:.0f}s "
-          f"({result.iterations / train_wall:.1f} it/s, last loss "
-          f"{result.last_loss:.4f})", flush=True)
+          f"({result.iterations / max(train_wall, 1e-9):.1f} it/s, "
+          f"early stop: {result.stopped_early}, "
+          f"best validation MRR {result.best_score})", flush=True)
 
     scorer.set_params(result.params)
     t0 = time.time()
-    summary = scorer.compute_scores(ds.valid[:2000])
-    print(f"eval (2000 valid triples, both directions) in "
-          f"{time.time() - t0:.0f}s", flush=True)
+    summary = scorer.compute_scores(ds.test[:args.valid_size])
+    print(f"final test eval in {time.time() - t0:.0f}s", flush=True)
     summary.pretty_print()
     mrr = summary.results["Filtered"]["MRR"]
     chance = 1.0 / ds.n_entities
-    print(f"filtered MRR {mrr:.4f} = {mrr / chance:.0f}x chance", flush=True)
+    print(f"final test filtered MRR {mrr:.4f} = {mrr / chance:.0f}x chance",
+          flush=True)
 
 
 if __name__ == "__main__":

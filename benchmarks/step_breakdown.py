@@ -25,7 +25,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--layout", default="sc2", choices=["sc2", "v1", "flat"])
     p.add_argument("--negative-mode", default="binomial",
-                   choices=["binomial", "split", "shared"])
+                   choices=["binomial", "binomial_factored", "split",
+                            "shared"])
     p.add_argument("--bf16", action="store_true",
                    help="bf16 encoder message + decoder stream precision")
     p.add_argument("--exp", default="gcn_block",
@@ -179,6 +180,16 @@ def main():
             loss, gr = jax.value_and_grad(
                 lambda q: model.loss(q, graph, t, y, m, rng=key,
                                      deterministic=False))(p)
+        elif args.negative_mode == "binomial_factored":
+            # The engine's production binomial path: same objective as
+            # "binomial" (same corruption draws), factored gathers.
+            from relationprediction_tpu.training.device_sampling import (
+                device_negative_parts)
+            values, co = device_negative_parts(batch.triples, rate, V, key)
+            loss, gr = jax.value_and_grad(
+                lambda q: model.loss_binomial_factored(
+                    q, graph, batch.triples, batch.mask, values, co,
+                    rng=key, deterministic=False))(p)
         elif args.negative_mode == "split":
             neg_s, neg_o = device_negative_entities_split(
                 batch.triples, rate, V, key)

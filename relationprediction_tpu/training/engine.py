@@ -603,6 +603,11 @@ class TrainLoop:
                     elif report_every and it_ % report_every == 1:
                         avg = cumulative_loss / float(report_every)
                         cumulative_loss = 0.0
+                        if it_ - report_every < start_iteration + 1:
+                            # Resumed mid-window: the accumulator covers
+                            # only the post-resume steps — don't print a
+                            # mislabeled partial average.
+                            continue
                         self.log(f"Average train loss for iteration "
                                  f"{it_ - report_every}-{it_ - 1}: {avg}")
                         self.metrics.log("train_loss", iteration=it_ - 1,
