@@ -667,11 +667,16 @@ def _block_direction_fwd_impl(features, blocks, pair, n_blocks_w,
     layout = pair.fwd
     feats_j = to_jmajor(features, n_blocks_w)
     w_j = blocks_to_jmajor(blocks)
-    x_sc = jnp.take(feats_j, layout.sources, axis=0) \
-        * layout.weights[:, None]
     if compute_dtype is not None:
-        x_sc = x_sc.astype(compute_dtype)
+        # Cast the [V, d] table BEFORE the slot gather: the gather then
+        # reads S*d*2 bytes instead of S*d*4 — the roofline's item-2 lever
+        # (docs/ROOFLINE.md §3; the one-time table cast costs V*d*(4+2)).
+        feats_j = feats_j.astype(compute_dtype)
         w_j = w_j.astype(compute_dtype)
+        weights = layout.weights.astype(compute_dtype)
+    else:
+        weights = layout.weights
+    x_sc = jnp.take(feats_j, layout.sources, axis=0) * weights[:, None]
     out_j = _finish(_call_block(x_sc, w_j, layout.group_rel, layout,
                                 interpret), layout, n_vertices)
     return from_jmajor(out_j, n_blocks_w)
@@ -690,11 +695,16 @@ def _block_direction_bwd_impl(pair, n_blocks_w, n_vertices, interpret,
         [g_j, jnp.zeros((twin.v_pad - n_vertices + 1, g_j.shape[1]),
                         g_j.dtype)], axis=0)
     w_jT = blocks_to_jmajor_T(blocks)
-    gx_sc = jnp.take(g_pad, jnp.minimum(twin.sources, twin.v_pad), axis=0) \
-        * twin.weights[:, None]
     if compute_dtype is not None:
-        gx_sc = gx_sc.astype(compute_dtype)
+        # Cast the cotangent table before the gather (same table-cast
+        # lever as the forward; halves the twin gather's read traffic).
+        g_pad_c = g_pad.astype(compute_dtype)
         w_jT = w_jT.astype(compute_dtype)
+        tw = twin.weights.astype(compute_dtype)
+    else:
+        g_pad_c, tw = g_pad, twin.weights
+    gx_sc = jnp.take(g_pad_c, jnp.minimum(twin.sources, twin.v_pad),
+                     axis=0) * tw[:, None]
     dfeats_j = _finish(_call_block(gx_sc, w_jT, twin.group_rel, twin,
                                    interpret), twin, features.shape[0])
     dfeats = from_jmajor(dfeats_j, n_blocks_w)
@@ -715,19 +725,46 @@ def _block_direction_bwd_impl(pair, n_blocks_w, n_vertices, interpret,
         # CPU dot thunks don't support BF16 x BF16 -> F32 accumulation;
         # the interpret/test path contracts in f32.
         cd = jnp.float32
-    feats_j = to_jmajor(features, n_blocks_w)
-    x_sc = jnp.take(feats_j, layout.sources, axis=0).astype(cd)
-    gw_sc = (jnp.take(g_pad, jnp.minimum(layout.slot_tgt, layout.v_pad),
-                      axis=0) * layout.weights[:, None]).astype(cd)
-    onehot = (layout.slot_rel()[:, None]
-              == jnp.arange(n_rels, dtype=jnp.int32)[None, :]).astype(cd)
+    feats_j = to_jmajor(features, n_blocks_w).astype(cd)
+    x_sc = jnp.take(feats_j, layout.sources, axis=0)
+    gw_sc = jnp.take(g_pad.astype(cd),
+                     jnp.minimum(layout.slot_tgt, layout.v_pad),
+                     axis=0) * layout.weights.astype(cd)[:, None]
     xg = x_sc.reshape(n_slots, dr, n_blocks_w)
+    t_grp = layout.group
+    if t_grp > 1:
+        # Group-structured reduction: the strided placement puts group
+        # g's T slots at chunk rows {g, g + Cg, ...}, so a contiguous
+        # [n_chunks, T, Cg] reshape + sum over T collapses each
+        # single-relation group BEFORE the one-hot contraction — T x
+        # fewer MXU rows and no per-slot relation expansion (the
+        # expansion+transpose was the round-3 grouped backward's 2.6x
+        # regression).
+        cg = layout.chunk // t_grp
+        n_chunks = n_slots // layout.chunk
+        onehot = (layout.group_rel[:, None]
+                  == jnp.arange(n_rels, dtype=jnp.int32)[None, :]
+                  ).astype(cd)                           # [Sg, R]
+
+        def contract(p):                                 # p: [S, dr, B]
+            pg = p.reshape(n_chunks, t_grp, cg, dr, n_blocks_w) \
+                  .sum(axis=1).reshape(-1, dr, n_blocks_w)
+            return jnp.einsum("sr,sjb->rjb", onehot, pg,
+                              preferred_element_type=jnp.float32)
+    else:
+        onehot = (layout.slot_rel()[:, None]
+                  == jnp.arange(n_rels, dtype=jnp.int32)[None, :]
+                  ).astype(cd)
+
+        def contract(p):
+            return jnp.einsum("sr,sjb->rjb", onehot, p,
+                              preferred_element_type=jnp.float32)
+
     dw_i = []
     for i_ in range(dr):
         p = gw_sc[:, i_ * n_blocks_w:(i_ + 1) * n_blocks_w][:, None, :] \
             * xg                                         # [S, dr, B]
-        dw_i.append(jnp.einsum("sr,sjb->rjb", onehot, p,
-                               preferred_element_type=jnp.float32))
+        dw_i.append(contract(p))
     dw_j = jnp.stack(dw_i, axis=1)                       # [R, dr, dr, B]
     dblocks = jnp.transpose(dw_j, (0, 3, 1, 2)).astype(blocks.dtype)
     return dfeats.astype(features.dtype), dblocks
@@ -770,13 +807,17 @@ def basis_direction(features: jax.Array, w_flat: jax.Array,
 def _basis_fwd_impl(features, w_flat, coefficients, pair, n_bases,
                     n_vertices, interpret, compute_dtype):
     layout = pair.fwd
-    x_sc = jnp.take(features, layout.sources, axis=0) \
-        * layout.weights[:, None]
-    coef_sc = jnp.take(coefficients, layout.slot_rel(), axis=0)
+    feats = features
     w = w_flat
+    weights = layout.weights
     if compute_dtype is not None:
-        x_sc = x_sc.astype(compute_dtype)
+        # Table cast before the slot gather (halved read traffic).
+        feats = feats.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    x_sc = jnp.take(feats, layout.sources, axis=0) * weights[:, None]
+    coef_sc = jnp.take(coefficients, layout.slot_rel(), axis=0)
+    if compute_dtype is not None:
         coef_sc = coef_sc.astype(compute_dtype)
     out = _finish(_call_basis(x_sc, w, coef_sc, layout, interpret), layout,
                   n_vertices)
@@ -805,13 +846,17 @@ def _basis_bwd(n_bases, n_vertices, interpret, compute_dtype, res, g):
     w_t = jnp.transpose(
         w_flat.reshape(d_in, n_bases, d_out), (2, 1, 0)
     ).reshape(d_out, n_bases * d_in)
-    gx_sc = jnp.take(g_pad, jnp.minimum(twin.sources, twin.v_pad), axis=0) \
-        * twin.weights[:, None]
-    coef_tw = jnp.take(coefficients, twin.slot_rel(), axis=0)
     wt = w_t
+    g_src = g_pad
+    tw = twin.weights
     if compute_dtype is not None:
-        gx_sc = gx_sc.astype(compute_dtype)
+        g_src = g_src.astype(compute_dtype)
         wt = wt.astype(compute_dtype)
+        tw = tw.astype(compute_dtype)
+    gx_sc = jnp.take(g_src, jnp.minimum(twin.sources, twin.v_pad),
+                     axis=0) * tw[:, None]
+    coef_tw = jnp.take(coefficients, twin.slot_rel(), axis=0)
+    if compute_dtype is not None:
         coef_tw = coef_tw.astype(compute_dtype)
     dfeats = _finish(_call_basis(gx_sc, wt, coef_tw, twin, interpret),
                      twin, features.shape[0])
