@@ -40,8 +40,16 @@ def main():
     p.add_argument("--resume-at", type=int, default=4000,
                    help="Simulate a crash after this many iterations and "
                         "resume from the checkpoint (0 = no resume demo).")
+    p.add_argument("--resume-only", action="store_true",
+                   help="Skip fresh training; resume from --ckpt and "
+                        "continue to --max-iterations (extend a prior "
+                        "run).")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--valid-size", type=int, default=5000)
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="Teacher softmax temperature: 1.0 is entropy-rich "
+                        "(hard ranking); ~0.4 approximates real KGs' "
+                        "near-deterministic (s, r) -> o regularities.")
     args = p.parse_args()
 
     import dataclasses
@@ -59,8 +67,8 @@ def main():
 
     t0 = time.time()
     ds = synthetic.learnable(14541, 237, 272115, 5000, 5000,
-                             latent_dim=16, temperature=1.0, seed=0,
-                             name="synth-learnable-FB15k237")
+                             latent_dim=16, temperature=args.temperature,
+                             seed=0, name="synth-learnable-FB15k237")
     print(f"dataset generated in {time.time() - t0:.0f}s", flush=True)
 
     cfg = config_lib.load(os.path.join(os.path.dirname(__file__), "..",
@@ -117,7 +125,9 @@ def main():
 
     loop = make_loop()
     t0 = time.time()
-    if args.resume_at:
+    if args.resume_only:
+        result = loop.resume(args.ckpt, max_iterations=args.max_iterations)
+    elif args.resume_at:
         print(f"phase A: {args.resume_at} iterations, then simulated "
               f"crash + resume", flush=True)
         loop.fit(max_iterations=args.resume_at, checkpoint_path=args.ckpt)
