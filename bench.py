@@ -178,13 +178,12 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
     out = {}
     for mode in modes:
         try:
-            # steps_per_dispatch=1: this environment's tunneled TPU pays
-            # more for the chunked dispatch's stacked-batch h2d than the
-            # per-dispatch RPC it amortizes (measured 125 vs 94 ms/step);
-            # co-located hosts keep the K=8 default.
+            # Production default K=8 chunked dispatch: it amortizes the
+            # tunnel's per-dispatch RPC (measured 70.6 vs 144 ms/step in
+            # round 4 — the tunnel's per-dispatch cost varies by session,
+            # and K=8 is robust to it).
             loop = TrainLoop(model, cfg, ds, seed=0, log=lambda s: None,
-                             prefetch=True, negative_mode=mode,
-                             steps_per_dispatch=1)
+                             prefetch=True, negative_mode=mode)
             params, opt_state = loop.init_state()
             result = loop.fit(params, opt_state, max_iterations=warmup)
             t0 = time.perf_counter()
