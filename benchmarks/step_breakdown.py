@@ -159,6 +159,42 @@ def main():
                   q, graph, deterministic=True,
                   rng=key).entity_codes.sum())(p), 0.0) + acc * 0, params)
 
+    # factored-binomial decoder isolated: frozen precomputed codes, so
+    # fwd / fwd+bwd time is PURE decoder-side (gathers, factors, CE,
+    # and the backward scatters into the code tables).
+    from relationprediction_tpu.training.device_sampling import (
+        device_negative_parts)
+    values_f, co_f = device_negative_parts(batch.triples, rate, V, key)
+    enc_fixed = model.encode(params, graph, deterministic=True, rng=key)
+    enc_fixed = jax.tree_util.tree_map(jax.lax.stop_gradient, enc_fixed)
+
+    def factored_dec_loss(codes, rel_codes, dp, acc):
+        # The REAL production loss body with the encoder frozen: patch
+        # encode() to return the precomputed codes so only decoder-side
+        # work is timed.
+        from relationprediction_tpu.models.build import EncodeResult
+        er = EncodeResult(codes, rel_codes)
+        saved = model.encode
+        model.encode = lambda *a, **k: er
+        try:
+            p2 = dict(params)
+            p2["decoder"] = dp
+            return model.loss_binomial_factored(
+                p2, None, batch.triples, batch.mask, values_f, co_f,
+                deterministic=True)
+        finally:
+            model.encode = saved
+
+    timed("factored decoder fwd (frozen codes)",
+          lambda p, acc: factored_dec_loss(
+              enc_fixed.entity_codes + acc, enc_fixed.relation_codes,
+              p["decoder"], acc) + acc * 0, params)
+    timed("factored decoder fwd+bwd (frozen codes)",
+          lambda p, acc: jax.grad(
+              lambda c: factored_dec_loss(c, enc_fixed.relation_codes,
+                                          p["decoder"], acc)
+          )(enc_fixed.entity_codes + acc).sum() + acc * 0, params)
+
     # optimizer update alone (Adam over the full param tree)
     opt = build_optimizer(cfg.optimizer)
     opt_state = opt.init(params)

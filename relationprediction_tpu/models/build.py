@@ -25,6 +25,37 @@ from . import decoders as decoders_lib
 from . import encoders as enc
 
 
+@jax.custom_vjp
+def _take_rows_sorted_bwd(table: jax.Array, rows: jax.Array) -> jax.Array:
+    """``table[rows]`` whose TRANSPOSE accumulates via sort + sorted
+    segment-sum instead of a random scatter-add.
+
+    Runtime is within noise of XLA's scatter at the training shapes
+    (~300k bf16 rows into a [V, d] table: 1.8 vs 1.6 ms measured with
+    traced indices), but the scatter's COMPILE cost on this backend is
+    pathological (65 s vs 11 s for the single op; XLA spends minutes in
+    scatter lowering — the round-3 404 s layer compiles traced to the
+    same cause). Forward is bit-identical to ``table[rows]``.
+    """
+    return table[rows]
+
+
+def _take_rows_fwd(table, rows):
+    return table[rows], (rows, table.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    rows, n_rows = res
+    order = jnp.argsort(rows)
+    d = jax.ops.segment_sum(
+        jnp.take(g, order, axis=0), jnp.take(rows, order),
+        num_segments=n_rows, indices_are_sorted=True)
+    return d.astype(g.dtype), np.zeros(rows.shape, jax.dtypes.float0)
+
+
+_take_rows_sorted_bwd.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 class EncodeResult(NamedTuple):
     entity_codes: jax.Array    # [V, d]
     relation_codes: jax.Array  # [R, d]
@@ -449,11 +480,18 @@ class RGCNModel:
         pos_energy = self.decoder.energies(dp, e1, r, e2)          # [n]
         q_subj = self.decoder.subject_factor(dp, r, e2)            # [n, d]
         q_obj = self.decoder.object_factor(dp, e1, r)              # [n, d]
-        ev = codes[neg_values]                                     # [n,k,d]
-        neg_energy = jnp.where(
-            corrupt_object,
-            self.decoder.factored_energy(dp, ev, q_obj[:, None, :]),
-            self.decoder.factored_energy(dp, ev, q_subj[:, None, :]))
+        ev = _take_rows_sorted_bwd(
+            codes, neg_values.reshape(-1)).reshape(
+                neg_values.shape + (codes.shape[-1],))             # [n,k,d]
+        # One reduce per slot: select the factor, not the energy — the
+        # two-branch jnp.where formulation computes BOTH [n, k, d]
+        # products (2x the decoder's dominant stream, fwd and bwd).
+        # factored_energy is a plain dot for every factorizable decoder,
+        # so energy = ev . (q_subj + co * (q_obj - q_subj)) exactly.
+        co_f = corrupt_object.astype(q_subj.dtype)[..., None]
+        q_sel = q_subj[:, None, :] + co_f * (q_obj
+                                             - q_subj)[:, None, :]
+        neg_energy = self.decoder.factored_energy(dp, ev, q_sel)
         rate = neg_values.shape[1]
 
         n = positives.shape[0]
@@ -536,8 +574,13 @@ class RGCNModel:
 
         k_s = neg_subjects.shape[1]
         k_o = neg_objects.shape[1]
-        e1n = codes[neg_subjects]                                  # [n,ks,d]
-        e2n = codes[neg_objects]                                   # [n,ko,d]
+        d_code = codes.shape[-1]
+        e1n = _take_rows_sorted_bwd(
+            codes, neg_subjects.reshape(-1)).reshape(
+                neg_subjects.shape + (d_code,))                    # [n,ks,d]
+        e2n = _take_rows_sorted_bwd(
+            codes, neg_objects.reshape(-1)).reshape(
+                neg_objects.shape + (d_code,))                     # [n,ko,d]
         subj_energy = self.decoder.factored_energy(
             dp, e1n, q_subj[:, None, :])                           # [n,ks]
         obj_energy = self.decoder.factored_energy(
