@@ -60,6 +60,12 @@ def main():
     pipeline = BatchPipeline(model, cfg, ds, np.random.default_rng(0),
                              sampler="uniform")
     batch = pipeline.next()
+    # CPU-mesh timing: Pallas layouts run in INTERPRET mode on CPU and
+    # would swamp the structure measurement — force the XLA segment-sum
+    # aggregation (this bench measures partitioning overhead, not the
+    # kernel; sc2-under-mesh parity has its own tests).
+    batch = batch._replace(graph=batch.graph._replace(
+        sc_fwd=None, sc_bwd=None, sc2_fwd=None, sc2_bwd=None))
 
     results = {}
     for n in args.devices:
