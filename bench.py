@@ -236,6 +236,11 @@ def main() -> None:
         # layer on the same chip (f32/f32 ratio in extra).
         "vs_baseline": round(layer["dt_base_bf16"] / layer["dt"], 3),
         "extra": {
+            # schema 2 (round 4+): vs_baseline is the SAME-precision
+            # bf16/bf16 ratio; schema 1 (rounds 1-3) was f32-reference /
+            # bf16-fused. Trend tooling: compare vs_baseline only within
+            # a schema; vs_baseline_f32 is the schema-1 definition.
+            "bench_schema": 2,
             "layer_ms": round(layer["dt"] * 1e3, 3),
             "layer_f32_ms": round(layer["dt_f32"] * 1e3, 3),
             "layer_v1_staircase_ms": round(layer["dt_v1"] * 1e3, 3),

@@ -80,15 +80,16 @@ def main():
                                         message_precision="bfloat16"),
             decoder=dataclasses.replace(cfg.decoder,
                                         stream_precision="bfloat16"))
-    if args.check_every or args.burnin:
+    if args.check_every is not None or args.burnin is not None:
         cfg = dataclasses.replace(
             cfg, optimizer=dataclasses.replace(
                 cfg.optimizer,
-                early_stopping_check_every=(args.check_every or
-                                            cfg.optimizer.
-                                            early_stopping_check_every),
-                early_stopping_burnin=(args.burnin or
-                                       cfg.optimizer.early_stopping_burnin)))
+                early_stopping_check_every=(
+                    args.check_every if args.check_every is not None
+                    else cfg.optimizer.early_stopping_check_every),
+                early_stopping_burnin=(
+                    args.burnin if args.burnin is not None
+                    else cfg.optimizer.early_stopping_burnin)))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
     view = JittedModelView(model)

@@ -15,6 +15,7 @@ synthetic dataset escape hatch for missing public splits.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -91,6 +92,12 @@ def main() -> None:
             builtins.print = lambda *a, **k: None
     elif args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    # Same compilation-cache policy as rgcn-eval: honor the user's env,
+    # default to the shared cache (the fused layer costs ~11 s cold even
+    # after the round-4 compile fix; the full step far more).
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
     cfg = config_lib.load(args.settings)
 

@@ -56,7 +56,8 @@ def main() -> None:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
     from relationprediction_tpu import config as config_lib
     from relationprediction_tpu.data import dataset as dataset_lib

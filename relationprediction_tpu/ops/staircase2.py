@@ -316,12 +316,25 @@ def _concat_layouts(layouts) -> Staircase2Layout:
 
     All shards must share identical static fields and per-shard array
     shapes (guaranteed by building each with the same pad bounds). The
-    result is only meaningful under a mesh that shards every array's
-    leading axis across exactly ``len(layouts)`` devices — each device
-    then sees precisely one shard's layout. Never call the kernels on the
-    concatenated view directly (its row/slot indices are shard-local).
+    intended execution is under a mesh that shards every array's leading
+    axis across exactly ``len(layouts)`` devices — each device then sees
+    precisely one shard's layout. UNSHARDED (single-device) execution of
+    the concatenated view is ALSO supported and used by the multihost
+    eval path (cli.py builds the eval graph with sc_shards=n and a
+    mesh-less JittedModelView): it is correct because (a) every shard's
+    ``row_block`` holds GLOBAL vertex-block ids, and (b) sharded layouts
+    force ``direct=False`` (asserted below), so ``_finish`` reduces rows
+    to vertices with a segment_sum that tolerates the non-monotone,
+    cross-shard-repeated ``row_block`` stream. Any future ``direct=True``
+    fast path or sorted-segments hint must keep this assert.
     """
     first = layouts[0]
+    if first.direct:
+        raise AssertionError(
+            "_concat_layouts requires direct=False per-shard layouts "
+            "(build_staircase2_pair_sharded always passes pad bounds, "
+            "which force it); a direct concatenated layout would corrupt "
+            "unsharded execution in _finish")
     for lo in layouts[1:]:
         for f in _S2_STATIC[:-1]:
             if getattr(lo, f) != getattr(first, f):
