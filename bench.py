@@ -68,20 +68,41 @@ def _init_backend():
 
 
 def timed(fn, *args):
+    """Differenced in-graph timing (round-5 methodology fix).
+
+    The tunnel's fixed per-dispatch overhead is ~25 ms; dividing one
+    wall-clock call by N_ITERS=20 (rounds 1-4) silently added ~1.25 ms
+    to every per-iteration number — exactly the artifact behind the
+    bogus 277 GB/s HBM 'ceiling' (benchmarks/membw_probe2.py). Running
+    the same loop at two trip counts and taking the slope
+    (T(N2)-T(N1))/(N2-N1) cancels the fixed cost exactly; the result is
+    the true on-device per-iteration time (the portable number a
+    co-located host would see).
+    """
     import jax
 
-    @jax.jit
-    def f(*a):
-        def it(k, acc):
-            return acc + fn(*a, acc)
-        return jax.lax.fori_loop(0, N_ITERS, it, 0.0)
+    def build(iters):
+        @jax.jit
+        def f(*a):
+            def it(k, acc):
+                return acc + fn(*a, acc)
+            return jax.lax.fori_loop(0, iters, it, 0.0)
+        return f
 
+    f1, f2 = build(N_ITERS), build(N_ITERS * 5)
     t0 = time.perf_counter()
-    float(f(*args))  # compile + first run
+    float(f1(*args))  # compile + first run
     compile_s = time.perf_counter() - t0
+    float(f2(*args))
+    t1 = min(_wall(f1, *args) for _ in range(2))
+    t2 = min(_wall(f2, *args) for _ in range(2))
+    return (t2 - t1) / (N_ITERS * 4), compile_s
+
+
+def _wall(f, *args):
     t0 = time.perf_counter()
     float(f(*args))
-    return (time.perf_counter() - t0) / N_ITERS, compile_s
+    return time.perf_counter() - t0
 
 
 def bench_layer(jax):

@@ -21,18 +21,29 @@ N_ITERS = 20
 
 
 def timed(fn, *args):
+    """Differenced in-graph timing — cancels the tunnel's ~25 ms fixed
+    dispatch cost (see bench.py:timed for the full story)."""
     import jax
 
-    @jax.jit
-    def f(*a):
-        def it(k, acc):
-            return acc + fn(*a, acc)
-        return jax.lax.fori_loop(0, N_ITERS, it, 0.0)
+    def build(iters):
+        @jax.jit
+        def f(*a):
+            def it(k, acc):
+                return acc + fn(*a, acc)
+            return jax.lax.fori_loop(0, iters, it, 0.0)
+        return f
 
-    float(f(*args))  # compile
-    t0 = time.perf_counter()
-    float(f(*args))
-    return (time.perf_counter() - t0) / N_ITERS
+    f1, f2 = build(N_ITERS), build(N_ITERS * 5)
+    float(f1(*args))  # compile
+    float(f2(*args))
+
+    def wall(f):
+        t0 = time.perf_counter()
+        float(f(*args))
+        return time.perf_counter() - t0
+    t1 = min(wall(f1) for _ in range(2))
+    t2 = min(wall(f2) for _ in range(2))
+    return (t2 - t1) / (N_ITERS * 4)
 
 
 def main():

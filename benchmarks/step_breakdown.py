@@ -102,19 +102,31 @@ def main():
         of the fori_loop. (A `result + acc * 0` epilogue — the round-2/3
         harness — lets the whole stage hoist and times a no-op; that bug
         made the early round-3 step numbers ~10x too good.)"""
-        @jax.jit
-        def f(p0, *a):
-            def it(k, acc):
-                p = jax.tree_util.tree_map(lambda x: x + acc, p0)
-                # squash so the feedback never overflows the perturbation
-                return jnp.tanh(body(p, *a, acc)) * 1e-6
-            return jax.lax.fori_loop(0, N, it, 0.0)
+        def build(iters):
+            @jax.jit
+            def f(p0, *a):
+                def it(k, acc):
+                    p = jax.tree_util.tree_map(lambda x: x + acc, p0)
+                    # squash: the feedback never overflows the perturbation
+                    return jnp.tanh(body(p, *a, acc)) * 1e-6
+                return jax.lax.fori_loop(0, iters, it, 0.0)
+            return f
+        # Differenced timing (round 5): two trip counts cancel the
+        # tunnel's ~25 ms fixed dispatch cost, which at N=10 inflated
+        # every round-4 stage number by ~2.5 ms (see bench.py:timed).
+        f1, f2 = build(N), build(N * 5)
         t0 = time.perf_counter()
-        float(f(*bargs))
+        float(f1(*bargs))
         tc = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(f(*bargs))
-        dt = (time.perf_counter() - t0) / N
+        float(f2(*bargs))
+
+        def wall(f):
+            t0 = time.perf_counter()
+            float(f(*bargs))
+            return time.perf_counter() - t0
+        t1 = min(wall(f1) for _ in range(2))
+        t2 = min(wall(f2) for _ in range(2))
+        dt = (t2 - t1) / (N * 4)
         print(f"{label:40s} compile {tc:6.1f}s  {dt * 1e3:8.2f} ms",
               flush=True)
         return dt
