@@ -57,6 +57,63 @@ def _take_rows_bwd(res, g):
 _take_rows_sorted_bwd.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
+def binomial_factored_objective(decoder, pos_energy, neg_energy, ev_sq,
+                                e1, r, e2, pos_mask, corrupt_object,
+                                axis_name=None):
+    """CE + regularization of the factored binomial protocol, shared by
+    the single-chip/mesh loss (``loss_binomial_factored``) and the
+    vertex-sharded loss (parallel/vertex_sharded.py), which computes the
+    energies against halo-gathered codes. Exact math of the reference's
+    tiled objective (``auxilliaries.py:13-33`` + ``bilinear_diag.py``).
+
+    pos_energy [n]; neg_energy/ev_sq/corrupt_object [n, rate];
+    e1/r/e2 [n, d] positive codes; pos_mask [n]. Under ``axis_name``
+    every sum is psummed, so per-shard slices produce the global mean.
+    """
+    rate = neg_energy.shape[1]
+    n = pos_energy.shape[0]
+    energies = jnp.concatenate([pos_energy, neg_energy.reshape(-1)])
+    labels = jnp.concatenate(
+        [pos_mask, jnp.zeros((n * rate,), jnp.float32)])
+    # neg_energy is positive-major ([n, rate] flattened), so the mask
+    # repeats per positive (the tiled batch's layout is slot-major;
+    # the CE mean is order-independent).
+    mask = jnp.concatenate([pos_mask, jnp.repeat(pos_mask, rate)])
+    loss = decoders_lib.weighted_ce_loss(energies, labels, mask,
+                                         axis_name)
+
+    # Regularization means over the EQUIVALENT tiled rows
+    # (``bilinear_diag.py:63-69``): in the tiled batch, positive i's
+    # e1 survives in its positive row and its object-corrupted rows,
+    # e2 in its positive + subject-corrupted rows, r in all rate+1
+    # rows; each corrupted entity code appears once.
+    m = pos_mask
+    co = corrupt_object.astype(jnp.float32) * m[:, None]
+    n_obj = jnp.sum(co, axis=1)                                # [n]
+    n_subj = m * rate - n_obj
+    e1_sq = (jnp.sum(jnp.sum(e1.astype(jnp.float32) ** 2, -1)
+                     * m * (1.0 + n_obj))
+             + jnp.sum(ev_sq * (m[:, None] - co)))
+    e2_sq = (jnp.sum(jnp.sum(e2.astype(jnp.float32) ** 2, -1)
+                     * m * (1.0 + n_subj))
+             + jnp.sum(ev_sq * co))
+    r_sq = jnp.sum(jnp.sum(r.astype(jnp.float32) ** 2, -1) * m) \
+        * (rate + 1)
+    d = e1.shape[-1]
+    live = jnp.sum(m)
+    if axis_name is not None:
+        e1_sq = jax.lax.psum(e1_sq, axis_name)
+        e2_sq = jax.lax.psum(e2_sq, axis_name)
+        r_sq = jax.lax.psum(r_sq, axis_name)
+        live = jax.lax.psum(live, axis_name)
+    # Clamp AFTER the global reduction: a shard whose slice is all
+    # padding must contribute 0 to the denominator, not a phantom 1
+    # (single-chip semantics: max(total live, 1)).
+    count = jnp.maximum(live, 1.0) * (rate + 1) * d
+    reg = (e1_sq + e2_sq + r_sq) / count
+    return loss + decoder.regularization_parameter * reg
+
+
 class EncodeResult(NamedTuple):
     entity_codes: jax.Array    # [V, d]
     relation_codes: jax.Array  # [R, d]
@@ -491,45 +548,9 @@ class RGCNModel:
         # (ops/neg_energy.py; ~2x faster decoder backward measured).
         neg_energy, ev_sq = factored_negative_energies(
             codes, q_subj, q_obj, neg_values, corrupt_object)
-        rate = neg_values.shape[1]
-
-        n = positives.shape[0]
-        energies = jnp.concatenate([pos_energy, neg_energy.reshape(-1)])
-        labels = jnp.concatenate(
-            [pos_mask, jnp.zeros((n * rate,), jnp.float32)])
-        # neg_energy is positive-major ([n, rate] flattened), so the mask
-        # repeats per positive (the tiled batch's layout is slot-major;
-        # the CE mean is order-independent).
-        mask = jnp.concatenate([pos_mask, jnp.repeat(pos_mask, rate)])
-        loss = decoders_lib.weighted_ce_loss(energies, labels, mask,
-                                             axis_name)
-
-        # Regularization means over the EQUIVALENT tiled rows
-        # (``bilinear_diag.py:63-69``): in the tiled batch, positive i's
-        # e1 survives in its positive row and its object-corrupted rows,
-        # e2 in its positive + subject-corrupted rows, r in all rate+1
-        # rows; each corrupted entity code appears once.
-        m = pos_mask
-        co = corrupt_object.astype(jnp.float32) * m[:, None]
-        n_obj = jnp.sum(co, axis=1)                                # [n]
-        n_subj = m * rate - n_obj
-        e1_sq = (jnp.sum(jnp.sum(e1.astype(jnp.float32) ** 2, -1)
-                         * m * (1.0 + n_obj))
-                 + jnp.sum(ev_sq * (m[:, None] - co)))
-        e2_sq = (jnp.sum(jnp.sum(e2.astype(jnp.float32) ** 2, -1)
-                         * m * (1.0 + n_subj))
-                 + jnp.sum(ev_sq * co))
-        r_sq = jnp.sum(jnp.sum(r.astype(jnp.float32) ** 2, -1) * m) \
-            * (rate + 1)
-        d = e1.shape[-1]
-        count = jnp.maximum(jnp.sum(m), 1.0) * (rate + 1) * d
-        if axis_name is not None:
-            e1_sq = jax.lax.psum(e1_sq, axis_name)
-            e2_sq = jax.lax.psum(e2_sq, axis_name)
-            r_sq = jax.lax.psum(r_sq, axis_name)
-            count = jax.lax.psum(count, axis_name)
-        reg = (e1_sq + e2_sq + r_sq) / count
-        loss = loss + self.decoder.regularization_parameter * reg
+        loss = binomial_factored_objective(
+            self.decoder, pos_energy, neg_energy, ev_sq, e1, r, e2,
+            pos_mask, corrupt_object, axis_name=axis_name)
 
         if self.variational and encoded.mu is not None:
             loss = loss + enc.variational_kl_penalty(encoded.mu,

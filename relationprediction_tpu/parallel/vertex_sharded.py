@@ -250,7 +250,8 @@ class VertexShardedEncoder:
 
     def __init__(self, model: RGCNModel, mesh: Mesh,
                  halo: str = "targeted", overlap: bool = False,
-                 dropout_mode: str = "per_shard"):
+                 dropout_mode: str = "per_shard",
+                 fused_kernel: Optional[bool] = None):
         e = model.config.encoder
         variant = "diag" if e.name == "gcn_diag" else e.gcn_variant
         dense_input = e.name == "gcn_diag" or e.use_input_transform
@@ -267,6 +268,31 @@ class VertexShardedEncoder:
             raise ValueError(f"unknown dropout_mode {dropout_mode!r}")
         if overlap and halo != "targeted":
             raise ValueError("overlap requires halo='targeted'")
+        # fused_kernel: run the per-layer aggregation through the fused
+        # staircase-v2 kernel (ops/staircase2.py — the production
+        # single-chip/mesh fast path) on shard-local layouts whose
+        # GATHER side indexes the post-halo feature buffer and whose
+        # SCATTER side targets the shard's owned rows. The twin layout
+        # (backward dfeats) scatters into the halo-buffer index space,
+        # so the cotangents flow back through the all_to_all transpose
+        # automatically. Default: on for the block variant (the
+        # flagship), off otherwise; the overlapped schedule keeps the
+        # split local/remote segment-sum formulation.
+        if fused_kernel is None:
+            fused_kernel = variant == "block" and not overlap
+        if fused_kernel and variant != "block":
+            raise ValueError("fused_kernel supports the block variant")
+        if fused_kernel and overlap:
+            raise ValueError("fused_kernel and overlap are mutually "
+                             "exclusive (the overlapped schedule splits "
+                             "messages by locality)")
+        self.fused = bool(fused_kernel)
+        # Fused-path message precision follows the encoder config (the
+        # single-chip production setting); the segment-sum path computes
+        # f32 as before.
+        mp = getattr(e, "message_precision", None)
+        self._agg_dtype = jnp.bfloat16 if mp in ("bfloat16", "bf16") \
+            else None
         self.model = model
         self.mesh = mesh
         self.halo = halo
@@ -319,8 +345,77 @@ class VertexShardedEncoder:
                                            self.n_shards),
                          halo_traffic_rows(b_halo, self.rows_per,
                                            self.n_shards))
-        return ((f_sen, f_rel, f_rec, f_msk, f_nrm, f_halo.send_idx, f_ptr),
-                (b_sen, b_rel, b_rec, b_msk, b_nrm, b_halo.send_idx, b_ptr))
+        f_out = (f_sen, f_rel, f_rec, f_msk, f_nrm, f_halo.send_idx, f_ptr)
+        b_out = (b_sen, b_rel, b_rec, b_msk, b_nrm, b_halo.send_idx, b_ptr)
+        if self.fused:
+            f_pair = self._sc2_dir_layouts(
+                f_out, gather_col="sender", h=f_halo.h)
+            b_pair = self._sc2_dir_layouts(
+                b_out, gather_col="receiver", h=b_halo.h)
+            f_out = f_out + (f_pair,)
+            b_out = b_out + (b_pair,)
+        return f_out, b_out
+
+    def _sc2_dir_layouts(self, arrays, gather_col: str, h: int):
+        """Per-shard fused staircase-v2 layouts for one direction,
+        concatenated for shard_map consumption.
+
+        The gather side indexes this direction's post-halo feature
+        buffer (length H = n_shards*h + rows_per for 'targeted'; v_pad
+        for 'all_gather'); the scatter side targets the shard's OWNED
+        rows [0, rows_per). The twin layout swaps the two spaces so the
+        backward's dfeats kernel scatters into the halo buffer, whence
+        autodiff of the exchange routes cotangents home. Pad bounds are
+        pure functions of the static budgets (sample-independent), so
+        resampled subgraphs share one executable.
+        """
+        from ..ops import staircase2 as s2
+        sen, rel, rec, msk, nrm, _, ptr = arrays
+        rb, chunk = 256, 512
+        n = self.n_shards
+        e_pad = sen.shape[1]
+        if gather_col == "sender":
+            dest_glob, row_shift = rec, True
+        else:
+            dest_glob, row_shift = sen, True
+        if self.halo == "targeted":
+            src_idx = ptr
+            h_len = n * h + self.rows_per
+        else:
+            raw = sen if gather_col == "sender" else rec
+            src_idx = np.minimum(raw, self.v_pad - 1)
+            h_len = self.v_pad
+
+        def plan(n_vertices):
+            n_blocks = -(-n_vertices // rb)
+            k = int(np.clip(-(-e_pad // (chunk * n_blocks)), 1, 16))
+            bound = n_blocks + -(-e_pad // (k * chunk))
+            return k, bound
+
+        k_f, bound_f = plan(self.rows_per)
+        k_t, bound_t = plan(h_len)
+        fwds, twins = [], []
+        for s_ in range(n):
+            row0 = s_ * self.rows_per
+            dest = np.clip(dest_glob[s_].astype(np.int64) - row0, 0,
+                           self.rows_per - 1).astype(np.int32)
+            w = (nrm[s_] * msk[s_]).astype(np.float32)
+            fwds.append(s2.build_staircase2_layout(
+                src_idx[s_].astype(np.int32), rel[s_], dest, w,
+                self.rows_per, rb=rb, chunk=chunk, k=k_f, group=1,
+                pad_rows_to=bound_f, to_device=False))
+            twins.append(s2.build_staircase2_layout(
+                dest, rel[s_], src_idx[s_].astype(np.int32), w,
+                h_len, rb=rb, chunk=chunk, k=k_t, group=1,
+                pad_rows_to=bound_t, to_device=False))
+        fwd = s2._concat_layouts(fwds)
+        twin = s2._concat_layouts(twins)
+        dev = jnp.asarray
+        fwd = fwd._replace(**{f: dev(getattr(fwd, f))
+                              for f in s2._S2_ARRAYS})
+        twin = twin._replace(**{f: dev(getattr(twin, f))
+                                for f in s2._S2_ARRAYS})
+        return s2.Staircase2Pair(fwd=fwd, twin=twin)
 
     def probe_budgets(self, sample_fn, n_probes: int = 8,
                       slack: float = 1.5):
@@ -340,7 +435,17 @@ class VertexShardedEncoder:
         for _ in range(n_probes):
             triples, loss_x = sample_fn()
             triples = np.asarray(triples, dtype=np.int64)
-            loss_x = np.asarray(loss_x, dtype=np.int64)
+            factored = isinstance(loss_x, tuple)
+            if factored:
+                # loss_x = (positives [n,3], corruption values [n,k]):
+                # the factored layout slices POSITIVES and halos
+                # e1/e2 + the k corrupted ids per positive
+                # (prepare_batch_factored).
+                pos, vals = (np.asarray(a, dtype=np.int64)
+                             for a in loss_x)
+                loss_x = pos
+            else:
+                loss_x = np.asarray(loss_x, dtype=np.int64)
             max_t = max(max_t, len(loss_x))
             for col in (2, 0):  # forward dst / backward dst
                 per = np.bincount(triples[:, col] // self.rows_per,
@@ -359,13 +464,18 @@ class VertexShardedEncoder:
                             continue
                         h = len(np.unique(mine[owners == q]))
                         max_h = max(max_h, h)
-            # decoder halo: measured exactly the way prepare_batch lays
-            # the loss batch out (row-major split into n_shards slices).
+            # decoder halo: measured exactly the way prepare_batch /
+            # prepare_batch_factored lays the loss batch out (row-major
+            # split into n_shards slices).
             t_loc = _round_up(len(loss_x), self.n_shards * 8) \
                 // self.n_shards
             for d in range(self.n_shards):
                 sl = loss_x[d * t_loc:(d + 1) * t_loc]
-                ents = np.concatenate([sl[:, 0], sl[:, 2]])
+                ents = [sl[:, 0], sl[:, 2]]
+                if factored:
+                    ents.append(vals[d * t_loc:(d + 1) * t_loc]
+                                .reshape(-1))
+                ents = np.concatenate(ents)
                 owners = ents // self.rows_per
                 for q in range(self.n_shards):
                     if q == d:
@@ -437,11 +547,15 @@ class VertexShardedEncoder:
         n_vertices = self.model.n_entities
         shard = jax.lax.axis_index(EDGE_AXIS)
         row0 = shard * rows_per
-        # shard_map leaves a leading size-1 shard axis on stacked inputs.
+        # shard_map leaves a leading size-1 shard axis on stacked inputs;
+        # the optional 8th element (fused staircase layouts) is CONCAT
+        # along its own leading axis, so the shard slice needs no strip.
+        f_pair = f_arrays[7] if len(f_arrays) > 7 else None
+        b_pair = b_arrays[7] if len(b_arrays) > 7 else None
         f_sen, f_rel, f_rec, f_msk, f_nrm, f_send, f_ptr = (
-            a[0] for a in f_arrays)
+            a[0] for a in f_arrays[:7])
         b_sen, b_rel, b_rec, b_msk, b_nrm, b_send, b_ptr = (
-            a[0] for a in b_arrays)
+            a[0] for a in b_arrays[:7])
 
         w = params["input_transform"]["W"]           # [rows_per, d] local
         bias = params["input_transform"]["b"]
@@ -482,6 +596,29 @@ class VertexShardedEncoder:
                     lp, self.variant, b_remote,
                     jnp.where(b_loc, 0, b_ptr), b_rel, "backward",
                     e.n_bases) * (~b_loc)[:, None]
+            elif self.fused:
+                # Fused staircase-v2 kernel on shard-local layouts: one
+                # kernel pass per direction does gather -> relational
+                # block transform -> one-hot MXU scatter into the owned
+                # rows (normalization weights live in the layout). The
+                # gather side indexes the post-halo buffer; its backward
+                # (twin layout) scatters cotangents into that buffer,
+                # whence the exchange's autodiff routes them home.
+                from ..ops import staircase2 as s2
+                if self.halo == "targeted":
+                    f_tab = _halo_exchange(feats_local, f_send, EDGE_AXIS)
+                    b_tab = _halo_exchange(feats_local, b_send, EDGE_AXIS)
+                else:
+                    full = jax.lax.all_gather(feats_local, EDGE_AXIS,
+                                              tiled=True)
+                    f_tab = b_tab = full
+                interp = s2.default_interpret()
+                coll_f = s2.block_direction(
+                    f_tab, lp["W_forward"], f_pair, e.n_bases, rows_per,
+                    interp, self._agg_dtype)
+                coll_b = s2.block_direction(
+                    b_tab, lp["W_backward"], b_pair, e.n_bases, rows_per,
+                    interp, self._agg_dtype)
             elif self.halo == "targeted":
                 f_feats = _halo_exchange(feats_local, f_send, EDGE_AXIS)
                 b_feats = _halo_exchange(feats_local, b_send, EDGE_AXIS)
@@ -497,17 +634,20 @@ class VertexShardedEncoder:
                 bwd = enc._edge_messages(lp, self.variant, full, b_rec,
                                          b_rel, "backward", e.n_bases)
 
-            # Local aggregation into owned rows only.
-            f_local = jnp.clip(f_rec - row0, 0, rows_per)
-            f_local = jnp.where(f_msk > 0, f_local, rows_per)
-            coll_f = jax.ops.segment_sum(fwd * f_nrm[:, None], f_local,
-                                         num_segments=rows_per + 1,
-                                         indices_are_sorted=True)[:rows_per]
-            b_local = jnp.clip(b_sen - row0, 0, rows_per)
-            b_local = jnp.where(b_msk > 0, b_local, rows_per)
-            coll_b = jax.ops.segment_sum(bwd * b_nrm[:, None], b_local,
-                                         num_segments=rows_per + 1,
-                                         indices_are_sorted=True)[:rows_per]
+            if not self.fused:
+                # Local segment-sum aggregation into owned rows only.
+                f_local = jnp.clip(f_rec - row0, 0, rows_per)
+                f_local = jnp.where(f_msk > 0, f_local, rows_per)
+                coll_f = jax.ops.segment_sum(
+                    fwd * f_nrm[:, None], f_local,
+                    num_segments=rows_per + 1,
+                    indices_are_sorted=True)[:rows_per]
+                b_local = jnp.clip(b_sen - row0, 0, rows_per)
+                b_local = jnp.where(b_msk > 0, b_local, rows_per)
+                coll_b = jax.ops.segment_sum(
+                    bwd * b_nrm[:, None], b_local,
+                    num_segments=rows_per + 1,
+                    indices_are_sorted=True)[:rows_per]
 
             self_loop = jnp.dot(feats_local, lp["W_self"],
                                 preferred_element_type=jnp.float32)
@@ -549,10 +689,20 @@ class VertexShardedEncoder:
                 + ot["b"]
         return feats_local
 
+    def _array_specs(self, arrays):
+        """shard_map in_specs for a prepare() arrays tuple: the 7 stacked
+        edge arrays shard on their leading axis; the optional fused
+        staircase pair shards every layout array's (concat) leading
+        axis."""
+        specs = [P(EDGE_AXIS)] * 7
+        if len(arrays) > 7:
+            specs.append(jax.tree_util.tree_map(lambda _: P(EDGE_AXIS),
+                                                arrays[7]))
+        return tuple(specs)
+
     def encode_fn(self) -> Callable:
         """jitted shard_map'd encode: returns vertex-sharded [v_pad, d]
         codes (row-sharded over the mesh)."""
-        spec7 = (P(EDGE_AXIS),) * 7
 
         def wrapped(params, f_arrays, b_arrays):
             def body(p, f, b):
@@ -560,7 +710,9 @@ class VertexShardedEncoder:
                                           deterministic=True)
             return shard_map(
                 body, mesh=self.mesh,
-                in_specs=(self.param_spec(params), spec7, spec7),
+                in_specs=(self.param_spec(params),
+                          self._array_specs(f_arrays),
+                          self._array_specs(b_arrays)),
                 out_specs=P(EDGE_AXIS), check_vma=False)(
                     params, f_arrays, b_arrays)
 
@@ -602,13 +754,59 @@ class VertexShardedEncoder:
         e1_ptr, e2_ptr = ptr[:, :t_loc], ptr[:, t_loc:]
         return xt, yt, mt, halo.send_idx, e1_ptr, e2_ptr
 
+    def prepare_batch_factored(self, x: np.ndarray, values: np.ndarray,
+                               corrupt_object: np.ndarray,
+                               t_pad: Optional[int] = None,
+                               halo_budget: Optional[int] = None):
+        """Lay out a factored-binomial loss batch: per-shard POSITIVE
+        slices plus host-drawn corruption parts, with the corrupted
+        entity ids riding the decoder halo (the 'corruption-in-halo'
+        design: corruptions are host-drawn — exactly the reference's
+        protocol, ``auxilliaries.py:13-33`` — so their boundary rows are
+        known when the halo is built; no device-drawn ids needed).
+
+        x: [n, 3] positives; values: [n, k] corrupted entity ids;
+        corrupt_object: [n, k] bool. Returns (triples [N,T,3],
+        mask [N,T], values [N,T,k], corrupt [N,T,k], dec_send,
+        e1_ptr [N,T], e2_ptr [N,T], ev_ptr [N,T,k])."""
+        n = self.n_shards
+        k = values.shape[1]
+        if t_pad is None:
+            t_pad = _round_up(len(x), n * 8)
+        elif len(x) > t_pad:
+            raise ValueError(f"batch of {len(x)} positives > static "
+                             f"t_pad {t_pad}")
+        xt = np.zeros((t_pad, 3), np.int32)
+        mt = np.zeros((t_pad,), np.float32)
+        vt = np.zeros((t_pad, k), np.int32)
+        ct = np.zeros((t_pad, k), bool)
+        xt[:len(x)] = x
+        mt[:len(x)] = 1.0
+        vt[:len(x)] = values
+        ct[:len(x)] = corrupt_object
+        t_loc = t_pad // n
+        xt = xt.reshape(n, t_loc, 3)
+        mt = mt.reshape(n, t_loc)
+        vt = vt.reshape(n, t_loc, k)
+        ct = ct.reshape(n, t_loc, k)
+        ents = np.concatenate(
+            [xt[:, :, 0], xt[:, :, 2], vt.reshape(n, t_loc * k)], axis=1)
+        emask = np.concatenate(
+            [mt, mt, np.repeat(mt, k, axis=1)], axis=1)
+        halo, ptr = build_halo(ents, emask, self.rows_per, self.n_shards,
+                               self.model.n_entities,
+                               h_budget=halo_budget)
+        e1_ptr = ptr[:, :t_loc]
+        e2_ptr = ptr[:, t_loc:2 * t_loc]
+        ev_ptr = ptr[:, 2 * t_loc:].reshape(n, t_loc, k)
+        return (xt, mt, vt, ct, halo.send_idx, e1_ptr, e2_ptr, ev_ptr)
+
     def loss_fn(self) -> Callable:
         """Scalar training loss (replicated) over a vertex-sharded forward
         pass; differentiable w.r.t. the sharded params. Host-sampled
         negatives (the reference's protocol) — device-side corruption
         would need per-step dynamic halo lists."""
         model = self.model
-        spec7 = (P(EDGE_AXIS),) * 7
 
         def local_loss(params, f_arrays, b_arrays, triples, labels, mask,
                        dec_send, e1_ptr, e2_ptr, rng):
@@ -631,7 +829,9 @@ class VertexShardedEncoder:
                     dec_send, e1_ptr, e2_ptr, rng):
             return shard_map(
                 local_loss, mesh=self.mesh,
-                in_specs=(self.param_spec(params), spec7, spec7,
+                in_specs=(self.param_spec(params),
+                          self._array_specs(f_arrays),
+                          self._array_specs(b_arrays),
                           P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
                           P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS), P()),
                 out_specs=P(), check_vma=False)(
@@ -640,9 +840,84 @@ class VertexShardedEncoder:
 
         return wrapped
 
-    def make_train_step(self, optimizer) -> Callable:
+    def loss_fn_factored(self) -> Callable:
+        """Factored-binomial training loss over the vertex-sharded
+        forward pass — the reference's exact corruption protocol with
+        host-drawn parts and the corrupted codes gathered through the
+        decoder halo (prepare_batch_factored). Removes the
+        ``not vertex_sharded`` exclusion from round 4: the beyond-HBM
+        path now pays ~15n gathered rows instead of the tiled ~33n."""
+        import jax.numpy as jnp  # noqa: F811 - local alias for clarity
+
+        from ..models.build import binomial_factored_objective
+        model = self.model
+
+        def local_loss(params, f_arrays, b_arrays, triples, mask, values,
+                       corrupt, dec_send, e1_ptr, e2_ptr, ev_ptr, rng):
+            codes_local = self._local_encode(params, f_arrays, b_arrays,
+                                             rng, deterministic=False)
+            triples, mask = triples[0], mask[0]
+            values, corrupt = values[0], corrupt[0]
+            dec_send, e1_ptr, e2_ptr, ev_ptr = (
+                dec_send[0], e1_ptr[0], e2_ptr[0], ev_ptr[0])
+            halo = _halo_exchange(codes_local, dec_send, EDGE_AXIS)
+            dp = params["decoder"]
+            e1 = halo[e1_ptr]
+            e2 = halo[e2_ptr]
+            r = params["relation_embedding"]["W_relation"][triples[:, 1]]
+            pos_energy = model.decoder.energies(dp, e1, r, e2)
+            q_subj = model.decoder.subject_factor(dp, r, e2)
+            q_obj = model.decoder.object_factor(dp, e1, r)
+            ev = halo[ev_ptr]                                # [T, k, d]
+            co_f = corrupt.astype(jnp.float32)
+            es = jnp.sum(ev * q_subj[:, None, :], axis=-1,
+                         dtype=jnp.float32)
+            eo = jnp.sum(ev * q_obj[:, None, :], axis=-1,
+                         dtype=jnp.float32)
+            neg_energy = es + co_f * (eo - es)
+            ev_sq = jnp.sum(ev.astype(jnp.float32) ** 2, axis=-1)
+            return binomial_factored_objective(
+                model.decoder, pos_energy, neg_energy, ev_sq, e1, r, e2,
+                mask, corrupt, axis_name=EDGE_AXIS)
+
+        def wrapped(params, f_arrays, b_arrays, triples, mask, values,
+                    corrupt, dec_send, e1_ptr, e2_ptr, ev_ptr, rng):
+            return shard_map(
+                local_loss, mesh=self.mesh,
+                in_specs=(self.param_spec(params),
+                          self._array_specs(f_arrays),
+                          self._array_specs(b_arrays),
+                          P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                          P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                          P(EDGE_AXIS), P(EDGE_AXIS), P()),
+                out_specs=P(), check_vma=False)(
+                    params, f_arrays, b_arrays, triples, mask, values,
+                    corrupt, dec_send, e1_ptr, e2_ptr, ev_ptr, rng)
+
+        return wrapped
+
+    def make_train_step(self, optimizer, factored: bool = False
+                        ) -> Callable:
         """jitted (params, opt_state, graph arrays, batch, rng) ->
         (params, opt_state, loss) with the entity table sharded."""
+        if factored:
+            loss_fn_f = self.loss_fn_factored()
+
+            @jax.jit
+            def step_f(params, opt_state, f_arrays, b_arrays, triples,
+                       mask, values, corrupt, dec_send, e1_ptr, e2_ptr,
+                       ev_ptr, rng):
+                loss, grads = jax.value_and_grad(loss_fn_f)(
+                    params, f_arrays, b_arrays, triples, mask, values,
+                    corrupt, dec_send, e1_ptr, e2_ptr, ev_ptr, rng)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = jax.tree_util.tree_map(lambda a, u: a + u,
+                                                params, updates)
+                return params, opt_state, loss
+
+            return step_f
+
         loss_fn = self.loss_fn()
 
         @jax.jit
@@ -667,11 +942,16 @@ class VSBatch(NamedTuple):
     f_arrays: tuple
     b_arrays: tuple
     triples: np.ndarray
-    labels: np.ndarray
+    labels: np.ndarray          # None in factored-binomial mode
     mask: np.ndarray
     dec_send: np.ndarray
     e1_ptr: np.ndarray
     e2_ptr: np.ndarray
+    # factored-binomial mode only (host-drawn corruption parts + the
+    # corrupted ids' halo pointers); None in tiled mode:
+    neg_values: Optional[np.ndarray] = None
+    corrupt_object: Optional[np.ndarray] = None
+    ev_ptr: Optional[np.ndarray] = None
 
 
 class VertexShardedBatchPipeline:
@@ -689,7 +969,8 @@ class VertexShardedBatchPipeline:
                  dataset, rng: np.random.Generator,
                  sampler: str = "neighborhood",
                  n_probes: int = 8, slack: float = 1.5,
-                 budgets: Optional[dict] = None):
+                 budgets: Optional[dict] = None,
+                 factored: bool = False):
         from ..sampling import (AdjacencyIndex, NegativeSampler,
                                 graph_split, sample_edge_neighborhood_fast,
                                 sample_uniform_edges)
@@ -709,6 +990,11 @@ class VertexShardedBatchPipeline:
         self._graph_split = graph_split
         self._sample_nbh = sample_edge_neighborhood_fast
         self._sample_uni = sample_uniform_edges
+        # factored: draw the reference's binomial corruption PARTS on the
+        # host (uniform entity + coin flip per slot — the same protocol
+        # auxilliaries.py:13-33 draws) and ship the corrupted ids through
+        # the decoder halo instead of materializing the tiled batch.
+        self.factored = factored
 
         if budgets is None:
             # Budget probe runs on an independent RNG so the production
@@ -720,6 +1006,12 @@ class VertexShardedBatchPipeline:
             def sample_fn():
                 ids = self._sample_ids(probe_rng)
                 split = graph_split(ids, t.graph_split_size, probe_rng)
+                if factored:
+                    pos = self.train[ids]
+                    vals = probe_rng.integers(
+                        0, config.entity_count,
+                        (len(pos), t.negative_sample_rate))
+                    return self.train[split], (pos, vals)
                 x, _ = probe_ns.transform(self.train[ids])
                 return self.train[split], x
 
@@ -739,11 +1031,24 @@ class VertexShardedBatchPipeline:
         t = self.config.training
         ids = self._sample_ids(self.rng)
         split = self._graph_split(ids, t.graph_split_size, self.rng)
-        x, y = self.ns.transform(self.train[ids])
         b = self.budgets
         f_arrays, b_arrays = self.vse.prepare(
             self.train[split], pad_to=b["edge_pad"],
             halo_budget=b["halo_budget"])
+        if self.factored:
+            pos = self.train[ids]
+            k = t.negative_sample_rate
+            vals = self.rng.integers(0, self.config.entity_count,
+                                     (len(pos), k)).astype(np.int32)
+            co = self.rng.random((len(pos), k)) < 0.5
+            (xt, mt, vt, ct, dec_send, e1_ptr, e2_ptr,
+             ev_ptr) = self.vse.prepare_batch_factored(
+                pos, vals, co, t_pad=b["t_pad"],
+                halo_budget=b["dec_halo_budget"])
+            return VSBatch(f_arrays, b_arrays, xt, None, mt, dec_send,
+                           e1_ptr, e2_ptr, neg_values=vt,
+                           corrupt_object=ct, ev_ptr=ev_ptr)
+        x, y = self.ns.transform(self.train[ids])
         xt, yt, mt, dec_send, e1_ptr, e2_ptr = self.vse.prepare_batch(
             x, y, t_pad=b["t_pad"], halo_budget=b["dec_halo_budget"])
         return VSBatch(f_arrays, b_arrays, xt, yt, mt, dec_send, e1_ptr,

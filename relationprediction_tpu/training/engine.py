@@ -347,9 +347,14 @@ class TrainLoop:
             self.vse = VertexShardedEncoder(model, mesh,
                                             overlap=vs_overlap,
                                             dropout_mode=vs_dropout_mode)
+            # Factored binomial is the VS default; device_negatives=False
+            # explicitly requests the host-TILED batch (the round-3 VS
+            # path, kept for single-chip-parity testing).
+            vs_factored = (getattr(model.decoder, "factorizable", False)
+                           and not model.has_state and device_negatives)
             self.pipeline = VertexShardedBatchPipeline(
                 self.vse, config, dataset, self.host_rng, sampler,
-                slack=vs_slack)
+                slack=vs_slack, factored=vs_factored)
         else:
             self.vse = None
             self.pipeline = BatchPipeline(model, config, dataset,
@@ -368,7 +373,8 @@ class TrainLoop:
                 VertexShardedBatchPipeline(
                     self.vse, config, dataset,
                     np.random.default_rng(seed + 1000 + w), sampler,
-                    budgets=self.pipeline.budgets)
+                    budgets=self.pipeline.budgets,
+                    factored=self.pipeline.factored)
                 for w in range(max(0, prefetch_threads - 1))]
         else:
             self._extra_pipelines = [
@@ -402,6 +408,12 @@ class TrainLoop:
         self._use_factored_binomial = (
             negative_mode == "binomial" and device_negatives
             and not model.has_state and not vertex_sharded and factorizable)
+        # Vertex-sharded binomial: host-drawn corruption parts ride the
+        # decoder halo (parallel/vertex_sharded.py:prepare_batch_factored)
+        # — the beyond-HBM path runs the factored objective too (the
+        # round-4 exclusion is lifted). Authoritative flag lives on the
+        # pipeline (set at construction above).
+        self._vs_factored = vertex_sharded and self.pipeline.factored
         self.negative_pool_size = negative_pool_size
 
         def train_step(params, opt_state, graph, triples, labels, mask, rng):
@@ -470,7 +482,8 @@ class TrainLoop:
             return params, opt_state, loss
 
         if vertex_sharded:
-            self._train_step = self.vse.make_train_step(self.optimizer)
+            self._train_step = self.vse.make_train_step(
+                self.optimizer, factored=self._vs_factored)
         elif mesh is not None:
             from ..parallel.mesh import make_sharded_train_step
             if not self.pipeline.device_negatives:
@@ -659,11 +672,19 @@ class TrainLoop:
                         batch = source.next()
                         self.rng_key, step_key = jax.random.split(
                             self.rng_key)
-                        params, opt_state, loss_dev = self._train_step(
-                            params, opt_state, batch.f_arrays,
-                            batch.b_arrays, batch.triples, batch.labels,
-                            batch.mask, batch.dec_send, batch.e1_ptr,
-                            batch.e2_ptr, step_key)
+                        if self._vs_factored:
+                            params, opt_state, loss_dev = self._train_step(
+                                params, opt_state, batch.f_arrays,
+                                batch.b_arrays, batch.triples, batch.mask,
+                                batch.neg_values, batch.corrupt_object,
+                                batch.dec_send, batch.e1_ptr,
+                                batch.e2_ptr, batch.ev_ptr, step_key)
+                        else:
+                            params, opt_state, loss_dev = self._train_step(
+                                params, opt_state, batch.f_arrays,
+                                batch.b_arrays, batch.triples,
+                                batch.labels, batch.mask, batch.dec_send,
+                                batch.e1_ptr, batch.e2_ptr, step_key)
                         pending.append((i, loss_dev))
                 elif self.mesh is not None or k < self.steps_per_dispatch:
                     # Mesh runs always take the single-step path: only

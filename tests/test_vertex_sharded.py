@@ -330,3 +330,131 @@ def test_vertex_sharded_rejects_unsupported(toy_dataset):
         VertexShardedEncoder(build_model(cfg), make_mesh(4))
     with pytest.raises(ValueError):
         VertexShardedEncoder(model, make_mesh(4), halo="bogus")
+
+
+def test_vertex_sharded_block_uses_fused_kernel(toy_dataset, monkeypatch):
+    """The default block-variant VS encode must trace the fused
+    staircase-v2 kernel, not the segment-sum fallback."""
+    from relationprediction_tpu.ops import staircase2 as s2lib
+    from relationprediction_tpu.parallel import vertex_sharded as vs_mod
+
+    ds, model = setup(toy_dataset, block=True)
+    calls = {"n": 0}
+    real = s2lib.block_direction
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    # _local_encode imports the module lazily, so patch at the source.
+    monkeypatch.setattr(s2lib, "block_direction", counting)
+
+    vs = VertexShardedEncoder(model, make_mesh(4))
+    assert vs.fused
+    params = model.init_params(jax.random.PRNGKey(0))
+    f, b = vs.prepare(ds.train, pad_to=64)
+    codes = vs.encode_fn()(vs.pad_params(params), f, b)
+    assert np.isfinite(np.asarray(codes)).all()
+    # 2 layers x 2 directions minimum on the forward trace.
+    assert calls["n"] >= 4, f"fused kernel not traced ({calls['n']})"
+
+
+def test_vertex_sharded_fused_multiblock_parity(rng):
+    """Fused VS parity at a scale where each shard spans multiple
+    row-blocks (rb=256 < rows_per) and the halo is non-trivial."""
+    import dataclasses as dc
+
+    V, R, E = 1200, 7, 1500
+    tr = np.stack([rng.integers(0, V, E), rng.integers(0, R, E),
+                   rng.integers(0, V, E)], axis=1).astype(np.int32)
+    cfg = config_lib.load("/root/reference/settings/gcn_basis.exp")
+    cfg = dc.replace(
+        cfg,
+        encoder=dc.replace(cfg.encoder, code_dimension=16,
+                           internal_dimension=16, n_bases=4,
+                           concatenation=True, n_layers=1),
+        decoder=dc.replace(cfg.decoder, code_dimension=16))
+    cfg = cfg.with_counts(V, R, E)
+    model = build_model(cfg)
+    mesh = make_mesh(4)
+    vs = VertexShardedEncoder(model, mesh)
+    assert vs.fused and vs.rows_per > 256  # multiple row-blocks/shard
+    params = model.init_params(jax.random.PRNGKey(0))
+    f, b = vs.prepare(tr, pad_to=1536)
+    got = np.asarray(vs.encode_fn()(vs.pad_params(params), f, b))[:V]
+    graph = model.make_graph(tr, pad_to=1536)
+    want = np.asarray(model.encode(params, graph,
+                                   deterministic=True).entity_codes)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_vertex_sharded_factored_binomial_matches_single_chip(toy_dataset):
+    """The VS factored-binomial loss (corruption-in-halo) equals the
+    single-chip factored loss on identical positives + corruption
+    draws, including gradients through the sharded entity table."""
+    ds, model = setup(toy_dataset, block=True)
+    mesh = make_mesh(4)
+    vs = VertexShardedEncoder(model, mesh, dropout_mode="full_parity")
+    params = model.init_params(jax.random.PRNGKey(0))
+    f, b = vs.prepare(ds.train, pad_to=64)
+    padded = vs.pad_params(params)
+
+    rngnp = np.random.default_rng(0)
+    pos = np.asarray(ds.train, dtype=np.int32)
+    k = 3
+    vals = rngnp.integers(0, ds.n_entities, (len(pos), k)).astype(np.int32)
+    co = rngnp.random((len(pos), k)) < 0.5
+    (xt, mt, vt, ct, dec_send, e1p, e2p,
+     evp) = vs.prepare_batch_factored(pos, vals, co)
+    rng = jax.random.PRNGKey(7)
+
+    loss_fn = vs.loss_fn_factored()
+    loss_sharded, grads_sharded = jax.value_and_grad(loss_fn)(
+        padded, f, b, xt, mt, vt, ct, dec_send, e1p, e2p, evp, rng)
+
+    graph = model.make_graph(ds.train, pad_to=64)
+    t_pad = xt.reshape(-1, 3)
+    m_pad = mt.reshape(-1)
+    v_pad = vt.reshape(-1, k)
+    c_pad = ct.reshape(-1, k)
+    want, grads_want = jax.value_and_grad(
+        lambda p: model.loss_binomial_factored(
+            p, graph, t_pad, m_pad, v_pad, c_pad, rng=rng,
+            deterministic=False))(params)
+
+    np.testing.assert_allclose(float(loss_sharded), float(want),
+                               rtol=2e-4, atol=2e-5)
+    gw = np.asarray(grads_sharded["input_transform"]["W"])[:ds.n_entities]
+    np.testing.assert_allclose(
+        gw, np.asarray(grads_want["input_transform"]["W"]),
+        rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads_sharded["decoder"]["W_relation"])
+        if "W_relation" in grads_sharded.get("decoder", {}) else
+        np.asarray(grads_sharded["relation_embedding"]["W_relation"]),
+        np.asarray(grads_want["relation_embedding"]["W_relation"]),
+        rtol=5e-4, atol=1e-5)
+
+
+def test_trainloop_vertex_sharded_factored_learns(toy_dataset):
+    """TrainLoop with vertex_sharded + binomial now runs the factored
+    objective end to end (the round-4 exclusion is lifted) and learns."""
+    from relationprediction_tpu.training import TrainLoop
+
+    ds, model = setup(toy_dataset, block=True)
+    import dataclasses as dc
+    cfg = dc.replace(
+        model.config,
+        optimizer=dc.replace(model.config.optimizer,
+                             learning_rate=0.05))
+    model = build_model(cfg)
+    mesh = make_mesh(4)
+    loop = TrainLoop(model, cfg, ds, seed=0, mesh=mesh,
+                     vertex_sharded=True, prefetch=False,
+                     log=lambda s: None)
+    assert loop._vs_factored
+    first = loop.fit(max_iterations=1)
+    more = loop.fit(params=first.params, opt_state=first.opt_state,
+                    max_iterations=25, start_iteration=1)
+    assert np.isfinite(more.last_loss)
+    assert more.last_loss < first.last_loss
