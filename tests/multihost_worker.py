@@ -52,14 +52,31 @@ def main():
     ds = dataset_lib.load(os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "..", "data", "Toy"))
     cfg = config_lib.load("/root/reference/settings/gcn_basis.exp")
+    # RP_MH_VARIANT=block runs the production fused-kernel path (sc2
+    # layouts under the process-spanning mesh) and counts kernel traces
+    # so the test can assert multi-host really exercises it.
+    variant = os.environ.get("RP_MH_VARIANT", "basis")
+    enc_kw = dict(code_dimension=16, internal_dimension=16, n_bases=4)
+    if variant == "block":
+        enc_kw.update(concatenation=True)  # 4 blocks of 4x4
     cfg = dataclasses.replace(
         cfg,
-        encoder=dataclasses.replace(cfg.encoder, code_dimension=16,
-                                    internal_dimension=16, n_bases=4),
+        encoder=dataclasses.replace(cfg.encoder, **enc_kw),
         decoder=dataclasses.replace(cfg.decoder, code_dimension=16),
         optimizer=dataclasses.replace(cfg.optimizer, save_every_n=3))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
+
+    kernel_traces = {"n": 0}
+    if variant == "block":
+        from relationprediction_tpu.ops import staircase2 as s2lib
+        real_bd = s2lib.block_direction
+
+        def _counting(*a, **k):
+            kernel_traces["n"] += 1
+            return real_bd(*a, **k)
+
+        s2lib.block_direction = _counting
 
     losses = []
 
@@ -84,7 +101,8 @@ def main():
         json.dump({"pid": pid, "nproc": nproc,
                    "last_loss": float(res.last_loss),
                    "initial_loss": losses[0] if losses else None,
-                   "checksum": checksum}, f)
+                   "checksum": checksum,
+                   "kernel_traces": kernel_traces["n"]}, f)
 
 
 if __name__ == "__main__":
