@@ -197,6 +197,7 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
     model = build_model(cfg)
 
     out = {}
+    compile_s = {}
     for mode in modes:
         try:
             # Production default K=8 chunked dispatch: it amortizes the
@@ -206,7 +207,14 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
             loop = TrainLoop(model, cfg, ds, seed=0, log=lambda s: None,
                              prefetch=True, negative_mode=mode)
             params, opt_state = loop.init_state()
-            result = loop.fit(params, opt_state, max_iterations=warmup)
+            # First dispatch = step compile (round-5 verdict item 6:
+            # track it so a compile regression is visible; includes
+            # compilation-cache hits when /tmp/jaxcache is warm).
+            t0 = time.perf_counter()
+            result = loop.fit(params, opt_state, max_iterations=1)
+            compile_s[mode] = round(time.perf_counter() - t0, 1)
+            result = loop.fit(result.params, result.opt_state,
+                              start_iteration=1, max_iterations=warmup)
             t0 = time.perf_counter()
             result = loop.fit(result.params, result.opt_state,
                               start_iteration=warmup,
@@ -239,14 +247,85 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
         except Exception:  # noqa: BLE001 - degrade, don't lose the capture
             traceback.print_exc()
             out[mode] = None
-    return out
+    return out, compile_s
+
+
+def bench_eval(jax, chunk=1000, n_chunks=8):
+    """Evaluation pass: chunked all-entity scoring at FB15k-237 scale
+    (round-5 verdict item 8 — the check-cadence cost was unmeasured).
+
+    Times the production Scorer path's device work: subject + object
+    [chunk, V] score matrices from a JittedModelView over the full
+    training graph, per 1000-triple chunk (the reference's chunking,
+    ``evaluation.py:334-346``).
+    """
+    import dataclasses
+    import os
+
+    from relationprediction_tpu import config as config_lib
+    from relationprediction_tpu.data import synthetic
+    from relationprediction_tpu.models import build_model
+    from relationprediction_tpu.models.build import JittedModelView
+
+    ds = synthetic.like("FB15k-237", seed=0)
+    cfg = config_lib.load(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "settings", "gcn_block.exp"))
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder,
+                                    message_precision="bfloat16"),
+        decoder=dataclasses.replace(cfg.decoder,
+                                    stream_precision="bfloat16"))
+    cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+    model = build_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    graph = model.make_graph(
+        ds.train, pad_to=-(-len(ds.train) // 128) * 128)
+    view = JittedModelView(model)
+
+    # The PRODUCTION path: Scorer -> chunked all-entity scoring with
+    # on-device rank computation — only [chunk]-sized rank vectors cross
+    # the tunnel. (Fetching the raw [chunk, V] score matrices instead
+    # measures ~6.5 s/chunk here — 40x worse, all transport — which is
+    # why ranks-on-device is the design; evaluation/ranking.py.)
+    from relationprediction_tpu.evaluation import Scorer
+    scorer = Scorer(metric="MRR")
+    for t in (ds.train, ds.valid, ds.test):
+        scorer.register_data(t)
+    scorer.register_model(view, None, graph, n_entities=ds.n_entities)
+    scorer.set_params(params)
+    n_eval = chunk * n_chunks
+    trip = np.asarray(ds.valid[:n_eval], dtype=np.int32)
+    t0 = time.perf_counter()
+    scorer.compute_mrr_scores(trip[:chunk])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    scorer.compute_mrr_scores(trip)
+    dt = (time.perf_counter() - t0) / n_chunks
+    print(f"eval [{chunk}-triple chunk, V={ds.n_entities}] subj+obj "
+          f"ranks: {dt * 1e3:.1f} ms ({chunk / dt:.0f} triples/s, "
+          f"first-chunk compile+encode {compile_s:.0f}s)",
+          file=sys.stderr)
+    return {
+        "eval_chunk_ms": round(dt * 1e3, 1),
+        "eval_triples_per_sec": round(chunk / dt, 1),
+        "eval_compile_s": round(compile_s, 1),
+        "note": ("production Scorer path: both-direction all-entity "
+                 "scoring + on-device raw/filtered ranks per "
+                 "1000-triple chunk; encode cached across chunks"),
+    }
 
 
 def main() -> None:
     jax = _init_backend()
 
     layer = bench_layer(jax)
-    steps = bench_train_steps(jax)
+    steps, step_compile = bench_train_steps(jax)
+    try:
+        eval_stats = bench_eval(jax)
+    except Exception:  # noqa: BLE001 - degrade, don't lose the capture
+        traceback.print_exc()
+        eval_stats = None
 
     edges_per_sec = layer["edges"] / layer["dt"]
     print(json.dumps({
@@ -271,7 +350,11 @@ def main() -> None:
                 round(layer["dt_base_bf16"] * 1e3, 3),
             "vs_baseline_f32": round(layer["dt_base"] / layer["dt_f32"], 3),
             "layer_compile_s": round(layer["compile_s"], 1),
+            # First-dispatch seconds for the full production train step
+            # (per negative mode; reflects /tmp/jaxcache state).
+            "step_compile_s": step_compile,
             "train_step": steps,
+            "eval": eval_stats,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -50,6 +50,23 @@ def main():
                    help="Teacher softmax temperature: 1.0 is entropy-rich "
                         "(hard ranking); ~0.4 approximates real KGs' "
                         "near-deterministic (s, r) -> o regularities.")
+    p.add_argument("--entities", type=int, default=14541)
+    p.add_argument("--relations", type=int, default=237)
+    p.add_argument("--train-size", type=int, default=272115)
+    p.add_argument("--latent-dim", type=int, default=16)
+    p.add_argument("--teacher-ceiling", action="store_true",
+                   help="Evaluate the GENERATOR's own scores through the "
+                        "same Scorer first — the Bayes-representable "
+                        "ceiling in the student's exact metric, so "
+                        "'fraction of ceiling' is rigorous.")
+    p.add_argument("--graph-batch", type=int, default=None,
+                   help="Override GraphBatchSize for small datasets.")
+    p.add_argument("--lr", type=float, default=None,
+                   help="Override the .exp learning rate — an EXTENSION "
+                        "beyond the reference's fixed lr=0.01 (flagged "
+                        "as such wherever results are reported); used to "
+                        "anneal a resumed run whose curve has flattened "
+                        "at the original step size.")
     args = p.parse_args()
 
     import dataclasses
@@ -66,9 +83,12 @@ def main():
     from relationprediction_tpu.training import TrainLoop
 
     t0 = time.time()
-    ds = synthetic.learnable(14541, 237, 272115, 5000, 5000,
-                             latent_dim=16, temperature=args.temperature,
-                             seed=0, name="synth-learnable-FB15k237")
+    ds = synthetic.learnable(args.entities, args.relations,
+                             args.train_size, 5000, 5000,
+                             latent_dim=args.latent_dim,
+                             temperature=args.temperature,
+                             seed=0,
+                             name=f"synth-learnable-V{args.entities}")
     print(f"dataset generated in {time.time() - t0:.0f}s", flush=True)
 
     cfg = config_lib.load(os.path.join(os.path.dirname(__file__), "..",
@@ -90,6 +110,14 @@ def main():
                 early_stopping_burnin=(
                     args.burnin if args.burnin is not None
                     else cfg.optimizer.early_stopping_burnin)))
+    if args.graph_batch is not None:
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(
+                cfg.training, graph_batch_size=args.graph_batch))
+    if args.lr is not None:
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(
+                cfg.optimizer, learning_rate=args.lr))
     cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
     model = build_model(cfg)
     view = JittedModelView(model)
@@ -107,6 +135,40 @@ def main():
     scorer.finalize_frequency_computation(ds.all_triples())
 
     valid = ds.valid[:args.valid_size]
+
+    if args.teacher_ceiling:
+        # The generator's own scoring function through the SAME Scorer:
+        # teacher score(s, r, o) = <ent_s * rel_r, ent_o> (temperature
+        # scales logits monotonically — ranks unchanged). This is the
+        # Bayes-representable optimum in the student's exact metric.
+        rng0 = np.random.default_rng(0)  # synthetic.learnable(seed=0)
+        t_ent = rng0.standard_normal((ds.n_entities, args.latent_dim))
+        t_rel = rng0.standard_normal((ds.n_relations, args.latent_dim))
+
+        class TeacherView:
+            def score_all_subjects(self, params, graph, chunk,
+                                   apply_sigmoid=False):
+                q = t_rel[chunk[:, 1]] * t_ent[chunk[:, 2]]
+                return q @ t_ent.T
+
+            def score_all_objects(self, params, graph, chunk,
+                                  apply_sigmoid=False):
+                q = t_ent[chunk[:, 0]] * t_rel[chunk[:, 1]]
+                return q @ t_ent.T
+
+            def invalidate(self):
+                pass
+
+        t_scorer = Scorer(metric="MRR")
+        for t in (ds.train, ds.valid, ds.test):
+            t_scorer.register_data(t)
+        t_scorer.register_model(TeacherView(), None, None,
+                                n_entities=ds.n_entities)
+        t_sum = t_scorer.compute_scores(ds.test)
+        teacher_mrr = t_sum.results["Filtered"]["MRR"]
+        teacher_h10 = t_sum.results["Filtered"]["H@10"]
+        print(f"TEACHER ceiling (test): filtered MRR {teacher_mrr:.4f} "
+              f"H@10 {teacher_h10:.4f}", flush=True)
 
     def score_validation(params) -> float:
         scorer.set_params(params)
@@ -157,6 +219,11 @@ def main():
     chance = 1.0 / ds.n_entities
     print(f"final test filtered MRR {mrr:.4f} = {mrr / chance:.0f}x chance",
           flush=True)
+    if args.teacher_ceiling:
+        print(f"fraction of teacher ceiling: {mrr / teacher_mrr:.1%} "
+              f"(student {mrr:.4f} / teacher {teacher_mrr:.4f}); "
+              f"H@10 {summary.results['Filtered']['H@10']:.4f} / "
+              f"{teacher_h10:.4f}", flush=True)
 
 
 if __name__ == "__main__":
