@@ -64,24 +64,26 @@ def bench_shape(jax, profile, exp, label, max_grow=1.0):
                    max_iterations=warmup + iters)
     dt = (time.perf_counter() - t0) / iters
     out["step_wall_ms"] = round(dt * 1e3, 1)
-    out["msg_edges_per_sec"] = round(loop.pipeline.split_size / dt, 1)
+    split = getattr(loop.pipeline, "split_size", 0)  # 0: no-graph encoder
+    if split:
+        out["msg_edges_per_sec"] = round(split / dt, 1)
 
-    # Eval chunk: both-direction all-entity scoring, 1000 triples.
+    # Eval chunk: the PRODUCTION Scorer path (all-entity scoring +
+    # on-device ranks; only [chunk] rank vectors cross the tunnel).
+    from relationprediction_tpu.evaluation import Scorer
     graph = model.make_graph(
         ds.train, pad_to=-(-len(ds.train) // 128) * 128) \
         if model.needs_graph() else None
     view = JittedModelView(model)
-    trip = np.asarray(ds.valid[:1000], dtype=np.int32)
-    s = view.score_all_subjects(res.params, graph, trip,
-                                apply_sigmoid=False)
-    np.asarray(s)
+    scorer = Scorer(metric="MRR")
+    for t in (ds.train, ds.valid, ds.test):
+        scorer.register_data(t)
+    scorer.register_model(view, None, graph, n_entities=ds.n_entities)
+    scorer.set_params(res.params)
+    trip = np.asarray(ds.valid[:4000], dtype=np.int32)
+    scorer.compute_mrr_scores(trip[:1000])  # compile + encode
     t0 = time.perf_counter()
-    for _ in range(4):
-        s = view.score_all_subjects(res.params, graph, trip,
-                                    apply_sigmoid=False)
-        o = view.score_all_objects(res.params, graph, trip,
-                                   apply_sigmoid=False)
-        np.asarray(s), np.asarray(o)
+    scorer.compute_mrr_scores(trip)
     out["eval_chunk_ms"] = round((time.perf_counter() - t0) / 4 * 1e3, 1)
 
     # A short learning sanity leg: loss must fall.

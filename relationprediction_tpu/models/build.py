@@ -21,40 +21,10 @@ import numpy as np
 
 from ..config import RunConfig
 from ..graph import GraphBatch
-from ..ops.neg_energy import factored_negative_energies
+from ..ops.neg_energy import (factored_negative_energies,
+                              single_factor_negative_energies)
 from . import decoders as decoders_lib
 from . import encoders as enc
-
-
-@jax.custom_vjp
-def _take_rows_sorted_bwd(table: jax.Array, rows: jax.Array) -> jax.Array:
-    """``table[rows]`` whose TRANSPOSE accumulates via sort + sorted
-    segment-sum instead of a random scatter-add.
-
-    Runtime is within noise of XLA's scatter at the training shapes
-    (~300k bf16 rows into a [V, d] table: 1.8 vs 1.6 ms measured with
-    traced indices), but the scatter's COMPILE cost on this backend is
-    pathological (65 s vs 11 s for the single op; XLA spends minutes in
-    scatter lowering — the round-3 404 s layer compiles traced to the
-    same cause). Forward is bit-identical to ``table[rows]``.
-    """
-    return table[rows]
-
-
-def _take_rows_fwd(table, rows):
-    return table[rows], (rows, table.shape[0])
-
-
-def _take_rows_bwd(res, g):
-    rows, n_rows = res
-    order = jnp.argsort(rows)
-    d = jax.ops.segment_sum(
-        jnp.take(g, order, axis=0), jnp.take(rows, order),
-        num_segments=n_rows, indices_are_sorted=True)
-    return d.astype(g.dtype), np.zeros(rows.shape, jax.dtypes.float0)
-
-
-_take_rows_sorted_bwd.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 def binomial_factored_objective(decoder, pos_energy, neg_energy, ev_sq,
@@ -593,17 +563,14 @@ class RGCNModel:
 
         k_s = neg_subjects.shape[1]
         k_o = neg_objects.shape[1]
-        d_code = codes.shape[-1]
-        e1n = _take_rows_sorted_bwd(
-            codes, neg_subjects.reshape(-1)).reshape(
-                neg_subjects.shape + (d_code,))                    # [n,ks,d]
-        e2n = _take_rows_sorted_bwd(
-            codes, neg_objects.reshape(-1)).reshape(
-                neg_objects.shape + (d_code,))                     # [n,ko,d]
-        subj_energy = self.decoder.factored_energy(
-            dp, e1n, q_subj[:, None, :])                           # [n,ks]
-        obj_energy = self.decoder.factored_energy(
-            dp, e2n, q_obj[:, None, :])                            # [n,ko]
+        # Fused single-factor scoring (ops/neg_energy.py): same
+        # rank-structured backward as the binomial op — the windowed
+        # one-hot MXU accumulation replaces the ~30 GB/s scatter of the
+        # corrupted-code cotangents. ev_sq feeds the regularization.
+        subj_energy, e1n_sq = single_factor_negative_energies(
+            codes, q_subj, neg_subjects)                           # [n,ks]
+        obj_energy, e2n_sq = single_factor_negative_energies(
+            codes, q_obj, neg_objects)                             # [n,ko]
 
         # CE: positives labeled by pos_mask; all corruptions labeled 0.
         ce = decoders_lib.weighted_ce_loss
@@ -628,9 +595,9 @@ class RGCNModel:
             return jnp.sum(jnp.sum(x ** 2, axis=-1) * w)
 
         e1_sq = (msum(e1, m) * (1 + k_o)
-                 + jnp.sum(jnp.sum(e1n ** 2, -1) * m[:, None]))
+                 + jnp.sum(e1n_sq * m[:, None]))
         e2_sq = (msum(e2, m) * (1 + k_s)
-                 + jnp.sum(jnp.sum(e2n ** 2, -1) * m[:, None]))
+                 + jnp.sum(e2n_sq * m[:, None]))
         r_sq = msum(r, m) * rows
         if axis_name is not None:
             e1_sq = jax.lax.psum(e1_sq, axis_name)

@@ -161,3 +161,92 @@ def _fused_bwd(res, cot):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Single-factor variant (the structured/split loss: every corruption of
+# a group scores against ONE per-positive factor)
+# ---------------------------------------------------------------------------
+
+def single_factor_negative_energies(codes: jax.Array, q: jax.Array,
+                                    neg_values: jax.Array):
+    """(energy [n,k] f32, ev_sq [n,k] f32) with
+    energy[n,k] = <codes[neg_values[n,k]], q[n]>.
+
+    The split loss's per-direction negative block
+    (models/build.py:loss_structured); same rank-structured backward as
+    the binomial op, with no coin-flip factor selection.
+    """
+    n, k = neg_values.shape
+    v = codes.shape[0]
+    if (codes.dtype != jnp.bfloat16 or n * k < 4 * _CHUNK
+            or v < 2 * _WINDOW):
+        return _single_direct(codes, q, neg_values)
+    return _single_fused(codes, q, neg_values)
+
+
+def _single_direct(codes, q, neg_values):
+    ev = jnp.take(codes, neg_values, axis=0)                # [n,k,d]
+    energy = jnp.sum(ev * q[:, None, :], axis=-1, dtype=jnp.float32)
+    ev_sq = jnp.sum(ev.astype(jnp.float32) ** 2, axis=-1)
+    return energy, ev_sq
+
+
+@jax.custom_vjp
+def _single_fused(codes, q, neg_values):
+    energy, ev_sq, _ = _single_fwd_impl(codes, q, neg_values)
+    return energy, ev_sq
+
+
+def _single_fwd_impl(codes, q, neg_values):
+    ev = jnp.take(codes, neg_values, axis=0)
+    energy = jnp.sum(ev * q[:, None, :], axis=-1, dtype=jnp.float32)
+    ev_sq = jnp.sum(ev.astype(jnp.float32) ** 2, axis=-1)
+    return energy, ev_sq, ev
+
+
+def _single_fwd(codes, q, neg_values):
+    energy, ev_sq, ev = _single_fwd_impl(codes, q, neg_values)
+    return (energy, ev_sq), (codes, q, neg_values, ev)
+
+
+def _single_bwd(res, cot):
+    dE, dS = cot
+    codes, q, neg_values, ev = res
+    n, k = neg_values.shape
+    v, d = codes.shape
+    dE = dE.astype(jnp.float32)
+    dS = dS.astype(jnp.float32)
+
+    dq = jnp.sum(dE.astype(ev.dtype)[:, :, None] * ev, axis=1,
+                 dtype=jnp.float32).astype(q.dtype)
+
+    rows = neg_values.reshape(-1)
+    n_flat = rows.shape[0]
+    w1 = dE.reshape(-1).astype(jnp.bfloat16)
+    w2 = (2.0 * dS.reshape(-1)).astype(jnp.float32)
+    fsel = jnp.arange(n_flat, dtype=jnp.int32) // k
+    rs, w1s, w2s, fsels = jax.lax.sort(
+        (rows, w1, w2, fsel), dimension=0, num_keys=1)
+    n_pad = _round_up(n_flat, _CHUNK)
+    if n_pad != n_flat:
+        pad = n_pad - n_flat
+        rs = jnp.concatenate([rs, jnp.broadcast_to(rs[-1], (pad,))])
+        w1s = jnp.concatenate([w1s, jnp.zeros(pad, w1s.dtype)])
+        w2s = jnp.concatenate([w2s, jnp.zeros(pad, w2s.dtype)])
+        fsels = jnp.concatenate([fsels, jnp.zeros(pad, fsels.dtype)])
+    q16 = q.astype(jnp.bfloat16)
+    payload = jnp.concatenate(
+        [jnp.take(q16, fsels, axis=0) * w1s[:, None],
+         w2s[:, None].astype(jnp.bfloat16)], axis=1)
+    table = accumulate_sorted_payload(
+        payload, rs, v, chunk=_CHUNK, window=_WINDOW)
+    d_codes = (table[:, :d]
+               + codes.astype(jnp.float32) * table[:, d:d + 1]
+               ).astype(codes.dtype)
+
+    f0 = np.zeros(neg_values.shape, jax.dtypes.float0)
+    return d_codes, dq, f0
+
+
+_single_fused.defvjp(_single_fwd, _single_bwd)

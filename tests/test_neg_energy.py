@@ -103,3 +103,38 @@ def test_fused_grad_vs_dense_reference():
     g = np.asarray(g, np.float32)
     denom = max(np.abs(ref).max(), 1e-6)
     np.testing.assert_allclose(g / denom, ref / denom, atol=0.1)
+
+
+def test_single_factor_fused_matches_direct():
+    rng = np.random.default_rng(7)
+    n, k, v, d = 1200, 10, 2048, 64
+    codes = jnp.asarray(rng.standard_normal((v, d)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    nv = jnp.asarray(rng.integers(0, v, (n, k)).astype(np.int32))
+    wE = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    wS = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    assert n * k >= 4 * ne._CHUNK and v >= 2 * ne._WINDOW
+
+    def loss(fn, c, qq):
+        e, s = fn(c, qq, nv)
+        return jnp.sum(e * wE) + jnp.sum(s * wS)
+
+    eF, sF = ne._single_fused(codes, q, nv)
+    eD, sD = ne._single_direct(codes, q, nv)
+    np.testing.assert_allclose(np.asarray(eF), np.asarray(eD), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sF), np.asarray(sD), rtol=1e-5,
+                               atol=1e-5)
+    gF = jax.grad(lambda c, qq: loss(ne._single_fused, c, qq),
+                  argnums=(0, 1))(codes, q)
+    gD = jax.grad(lambda c, qq: loss(ne._single_direct, c, qq),
+                  argnums=(0, 1))(codes, q)
+    for f, d_, name, tol in [(gF[0], gD[0], "d_codes", 0.15),
+                             (gF[1], gD[1], "d_q", 0.05)]:
+        f = np.asarray(f, np.float32)
+        d_ = np.asarray(d_, np.float32)
+        denom = max(np.abs(d_).max(), 1e-6)
+        np.testing.assert_allclose(f / denom, d_ / denom, atol=tol,
+                                   err_msg=name)
