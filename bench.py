@@ -250,6 +250,81 @@ def bench_train_steps(jax, modes=("binomial", "split", "shared"),
     return out, compile_s
 
 
+def bench_device_step(jax):
+    """In-graph (differenced fori-loop) timing of the FULL factored
+    binomial device step — loss fwd+bwd + Adam update at FB15k-237
+    training shapes. This is the PORTABLE step number: the TrainLoop
+    wall numbers above include per-dispatch tunnel RPC that varies
+    ±40 % session to session (observed 68-95 ms for identical code),
+    while this one is stable to ~±5 % (docs/ROOFLINE.md §4)."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp  # noqa: F401
+
+    from relationprediction_tpu import config as config_lib
+    from relationprediction_tpu.data import synthetic
+    from relationprediction_tpu.graph import build_graph_batch
+    from relationprediction_tpu.models import build_model
+    from relationprediction_tpu.training import BatchPipeline
+    from relationprediction_tpu.training.device_sampling import (
+        device_negative_parts)
+    from relationprediction_tpu.training.optimizers import build_optimizer
+
+    ds = synthetic.like("FB15k-237", seed=0)
+    cfg = config_lib.load(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "settings", "gcn_block.exp"))
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder,
+                                    message_precision="bfloat16"),
+        decoder=dataclasses.replace(cfg.decoder,
+                                    stream_precision="bfloat16"))
+    cfg = cfg.with_counts(ds.n_entities, ds.n_relations, len(ds.train))
+    model = build_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pipe = BatchPipeline(model, cfg, ds, np.random.default_rng(0),
+                         sampler="uniform", device_negatives=True)
+    batch = pipe.next()
+    g = batch.graph
+    real = np.asarray(g.mask) > 0
+    edges = np.stack([np.asarray(g.senders)[real],
+                      np.asarray(g.relations)[real],
+                      np.asarray(g.receivers)[real]], axis=1)
+    graph = build_graph_batch(edges, cfg.entity_count, cfg.relation_count,
+                              pad_to=g.n_padded_edges, staircase2=True)
+    rate = cfg.training.negative_sample_rate
+    opt = build_optimizer(cfg.optimizer)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(0)
+
+    def full_step(p, s_, acc):
+        values, co = device_negative_parts(batch.triples, rate,
+                                           cfg.entity_count, key)
+        loss, gr = jax.value_and_grad(
+            lambda q: model.loss_binomial_factored(
+                q, graph, batch.triples, batch.mask, values, co,
+                rng=key, deterministic=False))(
+            jax.tree_util.tree_map(lambda x: x + acc, p))
+        updates, _ = opt.update(gr, s_, p)
+        upd = jax.tree_util.tree_reduce(lambda a, b: a + b.sum(),
+                                        updates, 0.0)
+        return jnp.tanh(loss + upd * 1e-30) * 1e-6
+
+    dt, compile_s = timed(full_step, params, opt_state)
+    n_pos = int(np.asarray(batch.mask).sum())
+    print(f"device step (in-graph, binomial factored): {dt * 1e3:.2f} ms "
+          f"({n_pos * (rate + 1) / dt / 1e6:.2f}M slot-scores/s, "
+          f"compile {compile_s:.0f}s)", file=sys.stderr)
+    return {
+        "device_step_ms": round(dt * 1e3, 2),
+        "slot_scores_per_sec": round(n_pos * (rate + 1) / dt, 1),
+        "note": "full loss fwd+bwd + Adam, in-graph differenced timing "
+                "(portable; excludes tunnel dispatch + host pipeline, "
+                "which prefetch overlaps on a co-located host)",
+    }
+
+
 def bench_eval(jax, chunk=1000, n_chunks=8):
     """Evaluation pass: chunked all-entity scoring at FB15k-237 scale
     (round-5 verdict item 8 — the check-cadence cost was unmeasured).
@@ -322,6 +397,11 @@ def main() -> None:
     layer = bench_layer(jax)
     steps, step_compile = bench_train_steps(jax)
     try:
+        device_step = bench_device_step(jax)
+    except Exception:  # noqa: BLE001 - degrade, don't lose the capture
+        traceback.print_exc()
+        device_step = None
+    try:
         eval_stats = bench_eval(jax)
     except Exception:  # noqa: BLE001 - degrade, don't lose the capture
         traceback.print_exc()
@@ -354,6 +434,7 @@ def main() -> None:
             # (per negative mode; reflects /tmp/jaxcache state).
             "step_compile_s": step_compile,
             "train_step": steps,
+            "device_step": device_step,
             "eval": eval_stats,
             "device": str(jax.devices()[0]),
         },
