@@ -279,9 +279,10 @@ class VertexShardedEncoder:
         # flagship), off otherwise; the overlapped schedule keeps the
         # split local/remote segment-sum formulation.
         if fused_kernel is None:
-            fused_kernel = variant == "block" and not overlap
-        if fused_kernel and variant != "block":
-            raise ValueError("fused_kernel supports the block variant")
+            fused_kernel = variant in ("block", "basis") and not overlap
+        if fused_kernel and variant not in ("block", "basis"):
+            raise ValueError("fused_kernel supports the block and basis "
+                             "variants")
         if fused_kernel and overlap:
             raise ValueError("fused_kernel and overlap are mutually "
                              "exclusive (the overlapped schedule splits "
@@ -613,12 +614,24 @@ class VertexShardedEncoder:
                                               tiled=True)
                     f_tab = b_tab = full
                 interp = s2.default_interpret()
-                coll_f = s2.block_direction(
-                    f_tab, lp["W_forward"], f_pair, e.n_bases, rows_per,
-                    interp, self._agg_dtype)
-                coll_b = s2.block_direction(
-                    b_tab, lp["W_backward"], b_pair, e.n_bases, rows_per,
-                    interp, self._agg_dtype)
+                if self.variant == "block":
+                    coll_f = s2.block_direction(
+                        f_tab, lp["W_forward"], f_pair, e.n_bases,
+                        rows_per, interp, self._agg_dtype)
+                    coll_b = s2.block_direction(
+                        b_tab, lp["W_backward"], b_pair, e.n_bases,
+                        rows_per, interp, self._agg_dtype)
+                else:  # basis
+                    wf = lp["W_forward"].reshape(
+                        lp["W_forward"].shape[0], -1)
+                    wb = lp["W_backward"].reshape(
+                        lp["W_backward"].shape[0], -1)
+                    coll_f = s2.basis_direction(
+                        f_tab, wf, lp["C_forward"], f_pair, e.n_bases,
+                        rows_per, interp, self._agg_dtype)
+                    coll_b = s2.basis_direction(
+                        b_tab, wb, lp["C_backward"], b_pair, e.n_bases,
+                        rows_per, interp, self._agg_dtype)
             elif self.halo == "targeted":
                 f_feats = _halo_exchange(feats_local, f_send, EDGE_AXIS)
                 b_feats = _halo_exchange(feats_local, b_send, EDGE_AXIS)
