@@ -61,6 +61,9 @@ def main():
                         "'fraction of ceiling' is rigorous.")
     p.add_argument("--graph-batch", type=int, default=None,
                    help="Override GraphBatchSize for small datasets.")
+    p.add_argument("--seed", type=int, default=0,
+                   help="TrainLoop seed (init + batching + negatives); "
+                        "the teacher/dataset seed stays fixed at 0.")
     p.add_argument("--lr", type=float, default=None,
                    help="Override the .exp learning rate — an EXTENSION "
                         "beyond the reference's fixed lr=0.01 (flagged "
@@ -180,7 +183,7 @@ def main():
         return mrr
 
     def make_loop():
-        return TrainLoop(model, cfg, ds, seed=0,
+        return TrainLoop(model, cfg, ds, seed=args.seed,
                          scoring_function=score_validation,
                          negative_mode=args.mode,
                          metrics_path=args.metrics,
