@@ -299,8 +299,13 @@ def bench_device_step(jax):
     key = jax.random.PRNGKey(0)
 
     def full_step(p, s_, acc):
+        # Fold the loop carry into the key: 0*acc is not provably 0 for
+        # floats (NaN), so the per-step corruption draw cannot be
+        # loop-invariant-hoisted out of the timing loop (round-5 review
+        # finding — hoisted sampling silently under-reported the step).
+        kk = jax.random.fold_in(key, (acc * 0).astype(jnp.int32))
         values, co = device_negative_parts(batch.triples, rate,
-                                           cfg.entity_count, key)
+                                           cfg.entity_count, kk)
         loss, gr = jax.value_and_grad(
             lambda q: model.loss_binomial_factored(
                 q, graph, batch.triples, batch.mask, values, co,

@@ -144,9 +144,10 @@ def main():
         # teacher score(s, r, o) = <ent_s * rel_r, ent_o> (temperature
         # scales logits monotonically — ranks unchanged). This is the
         # Bayes-representable optimum in the student's exact metric.
-        rng0 = np.random.default_rng(0)  # synthetic.learnable(seed=0)
-        t_ent = rng0.standard_normal((ds.n_entities, args.latent_dim))
-        t_rel = rng0.standard_normal((ds.n_relations, args.latent_dim))
+        # teacher_factors shares learnable()'s draw-order definition.
+        t_ent, t_rel = synthetic.teacher_factors(
+            ds.n_entities, ds.n_relations, latent_dim=args.latent_dim,
+            seed=0)
 
         class TeacherView:
             def score_all_subjects(self, params, graph, chunk,

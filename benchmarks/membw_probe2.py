@@ -141,10 +141,18 @@ def main():
             tab_t = tab.astype(dt_)
 
             def build_g(iters, idx=idx, tab_t=tab_t, dt_=dt_):
+                # Carry-perturbed INDICES: `tab[idx]` alone is
+                # loop-invariant and LICM hoists it, timing only the
+                # accumulator add (round-5 review finding — the first
+                # version of this probe reported add bandwidth as
+                # gather bandwidth). 0*acc[0,0] is not provably 0 for
+                # floats, so the gather stays inside the loop.
                 @jax.jit
                 def f(acc, tab, idx):
-                    return jax.lax.fori_loop(
-                        0, iters, lambda k, a: a + tab[idx], acc).sum()
+                    def it(k, a):
+                        i2 = idx + (a[0, 0] * 0).astype(jnp.int32)
+                        return a + jnp.take(tab, i2, axis=0)
+                    return jax.lax.fori_loop(0, iters, it, acc).sum()
                 return lambda: f(jnp.zeros((s, d), dt_), tab_t, idx)
             t, o = _diff_time(jax, build_g)
             gb = s * d * nb * 3 / 1e9  # gather read + acc read + acc write

@@ -222,9 +222,13 @@ def main():
 
     # full train step (loss+grads+update), negative sampling on device
     def full_step(p, s_, acc):
+        # Carry-folded key: keeps the per-step corruption draw INSIDE
+        # the timing loop (0*acc is not provably 0 for floats, so LICM
+        # cannot hoist it — round-5 review finding).
+        kk = jax.random.fold_in(key, (acc * 0).astype(jnp.int32))
         if args.negative_mode == "binomial":
             t, y, m = device_negative_sample(batch.triples, batch.mask,
-                                             rate, V, key)
+                                             rate, V, kk)
             loss, gr = jax.value_and_grad(
                 lambda q: model.loss(q, graph, t, y, m, rng=key,
                                      deterministic=False))(p)
@@ -233,20 +237,20 @@ def main():
             # "binomial" (same corruption draws), factored gathers.
             from relationprediction_tpu.training.device_sampling import (
                 device_negative_parts)
-            values, co = device_negative_parts(batch.triples, rate, V, key)
+            values, co = device_negative_parts(batch.triples, rate, V, kk)
             loss, gr = jax.value_and_grad(
                 lambda q: model.loss_binomial_factored(
                     q, graph, batch.triples, batch.mask, values, co,
                     rng=key, deterministic=False))(p)
         elif args.negative_mode == "split":
             neg_s, neg_o = device_negative_entities_split(
-                batch.triples, rate, V, key)
+                batch.triples, rate, V, kk)
             loss, gr = jax.value_and_grad(
                 lambda q: model.loss_structured(
                     q, graph, batch.triples, batch.mask, neg_s, neg_o,
                     rng=key, deterministic=False))(p)
         else:
-            pool = jax.random.randint(key, (512,), 0, V, dtype=np.int32)
+            pool = jax.random.randint(kk, (512,), 0, V, dtype=np.int32)
             loss, gr = jax.value_and_grad(
                 lambda q: model.loss_shared_negatives(
                     q, graph, batch.triples, batch.mask, pool, rng=key,

@@ -68,6 +68,24 @@ def like(profile: str, seed: int = 0) -> KGDataset:
                     name=f"synth-{profile}")
 
 
+def _draw_teacher_factors(rng, n_entities, n_relations, latent_dim):
+    """The generator's FIRST draws — the single definition of the draw
+    order, shared by ``learnable`` and ``teacher_factors`` so
+    teacher-ceiling evaluations can never drift from the data."""
+    ent = rng.standard_normal((n_entities, latent_dim))
+    rel = rng.standard_normal((n_relations, latent_dim))
+    return ent, rel
+
+
+def teacher_factors(n_entities: int, n_relations: int, *,
+                    latent_dim: int = 8, seed: int = 0):
+    """The ground-truth latent factors behind ``learnable(...)`` with the
+    same arguments — for evaluating the teacher's own scores (the
+    Bayes-representable ceiling) through the production Scorer."""
+    return _draw_teacher_factors(np.random.default_rng(seed), n_entities,
+                                 n_relations, latent_dim)
+
+
 def learnable(n_entities: int, n_relations: int, n_train: int,
               n_valid: int = 0, n_test: int = 0, *, latent_dim: int = 8,
               temperature: float = 2.0, seed: int = 0,
@@ -82,8 +100,8 @@ def learnable(n_entities: int, n_relations: int, n_train: int,
     are only useful for throughput benchmarking.
     """
     rng = np.random.default_rng(seed)
-    ent = rng.standard_normal((n_entities, latent_dim))
-    rel = rng.standard_normal((n_relations, latent_dim))
+    ent, rel = _draw_teacher_factors(rng, n_entities, n_relations,
+                                     latent_dim)
 
     n_total = n_train + n_valid + n_test
     s = rng.integers(0, n_entities, n_total)

@@ -65,17 +65,80 @@ def factored_negative_energies(codes: jax.Array, q_subj: jax.Array,
     return _fused(codes, q_subj, q_obj, neg_values, corrupt_object)
 
 
+@jax.custom_vjp
+def _take_rows_sorted_bwd(table, rows):
+    """``table[rows]`` whose TRANSPOSE accumulates via sort + sorted
+    segment-sum instead of a raw scatter-add. Runtime-neutral vs XLA's
+    scatter, but the scatter's COMPILE cost on this backend is
+    pathological (~6x slower for the single op; the round-3 404 s layer
+    compiles traced to scatter lowering) — so the non-fused paths must
+    keep this backward for f32 streams (round-5 review finding)."""
+    return jnp.take(table, rows, axis=0)
+
+
+def _trs_fwd(table, rows):
+    return jnp.take(table, rows, axis=0), (rows, table.shape[0])
+
+
+def _trs_bwd(res, g):
+    rows, n_rows = res
+    order = jnp.argsort(rows)
+    d = jax.ops.segment_sum(
+        jnp.take(g, order, axis=0), jnp.take(rows, order),
+        num_segments=n_rows, indices_are_sorted=True)
+    return d.astype(g.dtype), np.zeros(rows.shape, jax.dtypes.float0)
+
+
+_take_rows_sorted_bwd.defvjp(_trs_fwd, _trs_bwd)
+
+
+def _take_rows(table, rows2d):
+    """2-D row take with the sorted-accumulation backward."""
+    return _take_rows_sorted_bwd(table, rows2d.reshape(-1)).reshape(
+        rows2d.shape + (table.shape[1],))
+
+
 def _direct(codes, q_subj, q_obj, neg_values, corrupt_object):
     """Reference formulation; autodiff handles the backward (CPU tests,
     f32 streams, tiny shapes). Same multiply/accumulate dtypes as the
     fused path so the dispatch choice never changes numerics."""
-    ev = jnp.take(codes, neg_values, axis=0)                # [n,k,d]
+    ev = _take_rows(codes, neg_values)                      # [n,k,d]
     co_f = corrupt_object.astype(jnp.float32)
     es = jnp.sum(ev * q_subj[:, None, :], axis=-1, dtype=jnp.float32)
     eo = jnp.sum(ev * q_obj[:, None, :], axis=-1, dtype=jnp.float32)
     energy = es + co_f * (eo - es)
     ev_sq = jnp.sum(ev.astype(jnp.float32) ** 2, axis=-1)
     return energy, ev_sq
+
+
+def _accumulate_code_grads(codes, factor_table, rows, w1, w2, fsel):
+    """Shared tail of the fused backwards: one variadic sort carries the
+    4-byte per-row streams (id, dE weight, 2dS weight, factor index) to
+    sorted order; the payload is built by gathering the SMALL factor
+    table; the windowed one-hot MXU accumulation produces the [V, d+1]
+    table whose extra column holds the per-entity 2dS sums, folded back
+    as codes * scalar (the regularization term's code-grad — no codes
+    regather). Returns d_codes in codes.dtype."""
+    v, d = codes.shape
+    n_flat = rows.shape[0]
+    rs, w1s, w2s, fsels = jax.lax.sort(
+        (rows, w1, w2, fsel), dimension=0, num_keys=1)
+    n_pad = _round_up(n_flat, _CHUNK)
+    if n_pad != n_flat:
+        pad = n_pad - n_flat
+        rs = jnp.concatenate([rs, jnp.broadcast_to(rs[-1], (pad,))])
+        w1s = jnp.concatenate([w1s, jnp.zeros(pad, w1s.dtype)])
+        w2s = jnp.concatenate([w2s, jnp.zeros(pad, w2s.dtype)])
+        fsels = jnp.concatenate([fsels, jnp.zeros(pad, fsels.dtype)])
+    ft16 = factor_table.astype(jnp.bfloat16)
+    payload = jnp.concatenate(
+        [jnp.take(ft16, fsels, axis=0) * w1s[:, None],
+         w2s[:, None].astype(jnp.bfloat16)], axis=1)        # [N, d+1]
+    table = accumulate_sorted_payload(
+        payload, rs, v, chunk=_CHUNK, window=_WINDOW)       # [v, d+1] f32
+    return (table[:, :d]
+            + codes.astype(jnp.float32) * table[:, d:d + 1]
+            ).astype(codes.dtype)
 
 
 @jax.custom_vjp
@@ -124,37 +187,18 @@ def _fused_bwd(res, cot):
 
     # Code-table grad. Row j contributes
     #   dE_j * qcat[fsel_j]  +  (2 dS_j) * codes[rows_j]
-    # The second term is codes[v] scaled by a PER-ENTITY scalar
-    # (sum of 2 dS_j over j hitting v), so it rides the windowed matmul
-    # as one extra payload column (d=500 occupies 512 lanes per tile —
-    # the column is free) and never regathers codes. One lax.sort
-    # carries all 4-byte per-row streams to sorted order in one pass
-    # (scalar gathers by argsort order measure ~3 ms EACH; the variadic
-    # sort replaces three of them).
+    # — rank structure the shared helper exploits (payload built from
+    # the small qcat factor table; the 2dS term rides as the extra
+    # payload column — d=500 occupies 512 lanes per tile anyway; one
+    # variadic sort replaces three ~3 ms scalar gathers).
     rows = neg_values.reshape(-1)
     n_flat = rows.shape[0]
-    w1 = dE.reshape(-1).astype(jnp.bfloat16)
-    w2 = (2.0 * dS.reshape(-1)).astype(jnp.float32)
+    qcat = jnp.concatenate([q_subj, q_obj], axis=0)
     fsel = (jnp.arange(n_flat, dtype=jnp.int32) // k
             + corrupt_object.reshape(-1).astype(jnp.int32) * n)
-    rs, w1s, w2s, fsels = jax.lax.sort(
-        (rows, w1, w2, fsel), dimension=0, num_keys=1)
-    n_pad = _round_up(n_flat, _CHUNK)
-    if n_pad != n_flat:
-        pad = n_pad - n_flat
-        rs = jnp.concatenate([rs, jnp.broadcast_to(rs[-1], (pad,))])
-        w1s = jnp.concatenate([w1s, jnp.zeros(pad, w1s.dtype)])
-        w2s = jnp.concatenate([w2s, jnp.zeros(pad, w2s.dtype)])
-        fsels = jnp.concatenate([fsels, jnp.zeros(pad, fsels.dtype)])
-    qcat = jnp.concatenate([q_subj, q_obj], axis=0).astype(jnp.bfloat16)
-    payload = jnp.concatenate(
-        [jnp.take(qcat, fsels, axis=0) * w1s[:, None],
-         w2s[:, None].astype(jnp.bfloat16)], axis=1)        # [N, d+1]
-    table = accumulate_sorted_payload(
-        payload, rs, v, chunk=_CHUNK, window=_WINDOW)       # [v, d+1] f32
-    d_codes = (table[:, :d]
-               + codes.astype(jnp.float32) * table[:, d:d + 1]
-               ).astype(codes.dtype)
+    d_codes = _accumulate_code_grads(
+        codes, qcat, rows, dE.reshape(-1).astype(jnp.bfloat16),
+        (2.0 * dS.reshape(-1)).astype(jnp.float32), fsel)
 
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
     return d_codes, dq_subj, dq_obj, f0(neg_values), f0(corrupt_object)
@@ -186,7 +230,7 @@ def single_factor_negative_energies(codes: jax.Array, q: jax.Array,
 
 
 def _single_direct(codes, q, neg_values):
-    ev = jnp.take(codes, neg_values, axis=0)                # [n,k,d]
+    ev = _take_rows(codes, neg_values)                      # [n,k,d]
     energy = jnp.sum(ev * q[:, None, :], axis=-1, dtype=jnp.float32)
     ev_sq = jnp.sum(ev.astype(jnp.float32) ** 2, axis=-1)
     return energy, ev_sq
@@ -223,27 +267,10 @@ def _single_bwd(res, cot):
 
     rows = neg_values.reshape(-1)
     n_flat = rows.shape[0]
-    w1 = dE.reshape(-1).astype(jnp.bfloat16)
-    w2 = (2.0 * dS.reshape(-1)).astype(jnp.float32)
-    fsel = jnp.arange(n_flat, dtype=jnp.int32) // k
-    rs, w1s, w2s, fsels = jax.lax.sort(
-        (rows, w1, w2, fsel), dimension=0, num_keys=1)
-    n_pad = _round_up(n_flat, _CHUNK)
-    if n_pad != n_flat:
-        pad = n_pad - n_flat
-        rs = jnp.concatenate([rs, jnp.broadcast_to(rs[-1], (pad,))])
-        w1s = jnp.concatenate([w1s, jnp.zeros(pad, w1s.dtype)])
-        w2s = jnp.concatenate([w2s, jnp.zeros(pad, w2s.dtype)])
-        fsels = jnp.concatenate([fsels, jnp.zeros(pad, fsels.dtype)])
-    q16 = q.astype(jnp.bfloat16)
-    payload = jnp.concatenate(
-        [jnp.take(q16, fsels, axis=0) * w1s[:, None],
-         w2s[:, None].astype(jnp.bfloat16)], axis=1)
-    table = accumulate_sorted_payload(
-        payload, rs, v, chunk=_CHUNK, window=_WINDOW)
-    d_codes = (table[:, :d]
-               + codes.astype(jnp.float32) * table[:, d:d + 1]
-               ).astype(codes.dtype)
+    d_codes = _accumulate_code_grads(
+        codes, q, rows, dE.reshape(-1).astype(jnp.bfloat16),
+        (2.0 * dS.reshape(-1)).astype(jnp.float32),
+        jnp.arange(n_flat, dtype=jnp.int32) // k)
 
     f0 = np.zeros(neg_values.shape, jax.dtypes.float0)
     return d_codes, dq, f0

@@ -375,10 +375,7 @@ class VertexShardedEncoder:
         rb, chunk = 256, 512
         n = self.n_shards
         e_pad = sen.shape[1]
-        if gather_col == "sender":
-            dest_glob, row_shift = rec, True
-        else:
-            dest_glob, row_shift = sen, True
+        dest_glob = rec if gather_col == "sender" else sen
         if self.halo == "targeted":
             src_idx = ptr
             h_len = n * h + self.rows_per
